@@ -1,0 +1,156 @@
+package graft.extract
+
+import graft.url.UrlCanon
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Article + list-page extraction (SURVEY.md §3 S3–S8, U2, U6; P4).
+  *
+  * The grammar is normatively fixed by FIXTURES.md §1 and is the
+  * byte-identity surface of BASELINE.json's input_hint ("byte-identical
+  * extracted text per url"): `body` is group 1 of BodyRe, UNTRIMMED, and
+  * must never pass through anything that re-encodes or normalizes it.
+  * Everything here is Catalyst built-ins (regexp_extract / get_json_object
+  * / from_json / timestamp_seconds) — whole-stage codegen end to end,
+  * no UDFs.
+  */
+object Extract {
+
+  val TitleRe = "(?s)<h2 class=\"rich_media_title\"[^>]*>\\s*(.*?)</h2>"
+  val BodyRe = "(?s)<div id=\"js_content\"[^>]*>(.*?)</div>"
+  val PublishRe = "var ct = \"(\\d+)\""
+  val AppMsgExtRe = "(?s)<script type=\"application/json\" id=\"appmsgext\">(.*?)</script>"
+  val CommentsRe = "(?s)<script type=\"application/json\" id=\"comments\">(.*?)</script>"
+
+  val CommentSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("content", StringType),
+    StructField("nick_name", StringType),
+    StructField("like_num", IntegerType),
+    StructField("create_time", LongType))))
+
+  /** Inner `general_msg_list` JSON of a WeChat-style list page. */
+  val MsgListSchema: StructType = {
+    val commMsgInfo = StructType(Seq(
+      StructField("id", LongType),
+      StructField("type", IntegerType),
+      StructField("datetime", LongType)))
+    val multiItem = StructType(Seq(
+      StructField("title", StringType),
+      StructField("content_url", StringType)))
+    val appMsgExtInfo = StructType(Seq(
+      StructField("title", StringType),
+      StructField("content_url", StringType),
+      StructField("multi_app_msg_item_list", ArrayType(multiItem))))
+    val item = StructType(Seq(
+      StructField("comm_msg_info", commMsgInfo),
+      StructField("app_msg_ext_info", appMsgExtInfo)))
+    StructType(Seq(StructField("list", ArrayType(item))))
+  }
+
+  // ------------------------------------------------------- scalar pieces
+
+  /** ANSI-safe numeric cast: real-world pages are dirty; a malformed row
+    * must extract as NULL, never throw and kill a 1000-executor wave
+    * (Spark 4 ANSI mode makes bare cast('' as long) raise). */
+  private def tryNum(c: Column, dt: DataType): Column =
+    when(c.rlike("^-?\\d+$"), c.cast(dt))
+
+  def titleCol(text: Column): Column = trim(regexp_extract(text, TitleRe, 1))
+
+  /** UNTRIMMED body — the byte-identity column. */
+  def bodyCol(text: Column): Column = regexp_extract(text, BodyRe, 1)
+
+  def publishTsCol(text: Column): Column =
+    timestamp_seconds(tryNum(regexp_extract(text, PublishRe, 1), LongType))
+
+  def readCountCol(text: Column): Column =
+    tryNum(get_json_object(regexp_extract(text, AppMsgExtRe, 1),
+      "$.appmsgstat.read_num"), IntegerType)
+
+  def likeCountCol(text: Column): Column =
+    tryNum(get_json_object(regexp_extract(text, AppMsgExtRe, 1),
+      "$.appmsgstat.like_num"), IntegerType)
+
+  def commentsCol(text: Column): Column =
+    from_json(get_json_object(regexp_extract(text, CommentsRe, 1),
+      "$.elected_comment"), CommentSchema)
+
+  // ------------------------------------------------------- whole tables
+
+  /** pages(url, text, …) [+ wave] → articles rows (FIXTURES.md §5 schema).
+    * Input must be detail pages; rows whose text lacks an article body
+    * extract as empty strings and are filtered out. */
+  def articles(pages: DataFrame): DataFrame = {
+    val wave = if (pages.columns.contains("wave")) col("wave") else lit(0)
+    pages.select(
+      UrlCanon.canonicalCol(col("url")).as("url"),
+      UrlCanon.urlHashCol(col("url")).as("url_hash"),
+      coalesce(parse_url(col("url"), lit("QUERY"), lit("__biz")), lit("")).as("biz"),
+      titleCol(col("text")).as("title"),
+      bodyCol(col("text")).as("body"),
+      publishTsCol(col("text")).as("publish_ts"),
+      readCountCol(col("text")).as("read_count"),
+      likeCountCol(col("text")).as("like_count"),
+      wave.cast(IntegerType).as("wave"))
+      .filter(col("body") =!= "")
+  }
+
+  /** Exploded comments keyed by url_hash (SURVEY.md §3 U6). */
+  def comments(pages: DataFrame): DataFrame = {
+    pages.select(
+      UrlCanon.urlHashCol(col("url")).as("url_hash"),
+      posexplode(commentsCol(col("text"))).as(Seq("idx", "c")))
+      .select(
+        col("url_hash"), col("idx"),
+        col("c.content").as("content"),
+        col("c.nick_name").as("nick_name"),
+        col("c.like_num").as("like_count"),
+        timestamp_seconds(col("c.create_time")).as("create_ts"))
+  }
+
+  /** List-page discovery: one row per discovered URL.
+    *
+    * Output: (url canonical, url_hash, host, biz, kind, publish_unix).
+    * - every type-49 item's content_url (+ multi items) → kind "detail"
+    * - if can_msg_continue == 1, the next list page (offset rewritten)
+    *   → kind "list" (SURVEY.md §1 step 2 pagination).
+    * Non-article items (type != 49) are dropped (P4 validity filter).
+    */
+  def discovered(listPages: DataFrame): DataFrame = {
+    val parsed = listPages.select(
+      col("url"),
+      get_json_object(col("text"), "$.can_msg_continue").cast(IntegerType)
+        .as("can_continue"),
+      get_json_object(col("text"), "$.next_offset").as("next_offset"),
+      from_json(get_json_object(col("text"), "$.general_msg_list"), MsgListSchema)
+        .as("msgs"))
+
+    val details = parsed
+      .select(explode(col("msgs.list")).as("item"))
+      .filter(col("item.comm_msg_info.type") === 49 &&
+        col("item.app_msg_ext_info.content_url").isNotNull)
+      .select(explode(concat(
+        array(col("item.app_msg_ext_info.content_url")),
+        coalesce(col("item.app_msg_ext_info.multi_app_msg_item_list.content_url"),
+          array()))).as("raw_url"),
+        col("item.comm_msg_info.datetime").as("publish_unix"))
+      .select(lit("detail").as("kind"), col("raw_url"), col("publish_unix"))
+
+    val nextLists = parsed
+      .filter(col("can_continue") === 1)
+      .select(lit("list").as("kind"),
+        regexp_replace(col("url"), lit("offset=\\d+"),
+          concat(lit("offset="), col("next_offset"))).as("raw_url"),
+        lit(null).cast(LongType).as("publish_unix"))
+
+    details.unionByName(nextLists)
+      .select(
+        UrlCanon.canonicalCol(col("raw_url")).as("url"),
+        UrlCanon.urlHashCol(col("raw_url")).as("url_hash"),
+        UrlCanon.hostCol(col("raw_url")).as("host"),
+        coalesce(parse_url(col("raw_url"), lit("QUERY"), lit("__biz")), lit(""))
+          .as("biz"),
+        col("kind"), col("publish_unix"))
+  }
+}

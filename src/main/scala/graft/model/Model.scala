@@ -1,0 +1,70 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Case-class data model for the crawl engine (SURVEY.md §2.1).
+  *
+  * All tables use fixed schemas (Encoders.product); the `pages` shape
+  * (url, warc_ts, html, text, lang) is mandated verbatim by
+  * BASELINE.json `input_hint`.
+  */
+final case class Page(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String)
+
+final case class Account(biz: String, name: String, seed_rank: Int)
+
+/** One frontier row. `kind` is "list" | "detail".
+  * `priority` is the per-account recency rank (smaller = fetch sooner).
+  */
+final case class FrontierEntry(
+    url: String,
+    url_hash: Long,
+    host: String,
+    biz: String,
+    kind: String,
+    wave: Int,
+    priority: Long,
+    discovered_ts: Timestamp)
+
+final case class SeenEntry(url_hash: Long, partition_id: Int, wave_added: Int)
+
+final case class Article(
+    url: String,
+    url_hash: Long,
+    biz: String,
+    title: String,
+    body: String,
+    publish_ts: Timestamp,
+    read_count: Int,
+    like_count: Int,
+    wave: Int)
+
+final case class ArticleComment(
+    url_hash: Long,
+    idx: Int,
+    content: String,
+    nick_name: String,
+    like_count: Int,
+    create_ts: Timestamp)
+
+final case class RobotsRule(host: String, path_prefix: String, allowed: Boolean)
+
+final case class HostBudget(host: String, tokens_per_round: Int, tokens_left: Int)
+
+final case class CrawlMetrics(
+    run_id: String,
+    wave: Int,
+    partition_id: Int,
+    fetched: Long,
+    deduped: Long,
+    denied: Long,
+    deferred: Long,
+    extracted: Long,
+    wall_ms: Long)
+
+/** Emitted crawl ordering, the replay-gate artifact (FIXTURES.md §5). */
+final case class CrawlOrder(wave: Int, priority: Long, url_hash: Long, url: String)

@@ -1,0 +1,123 @@
+package graft.extract
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import graft.synth.{Synth, SynthConfig}
+import graft.tools.GenGoldens
+import graft.url.UrlCanon
+import org.apache.spark.sql.functions._
+
+/** Golden byte-identity gate (BASELINE.json input_hint) + extraction
+  * semantics. The committed golden_articles.jsonl pins sha256(body bytes)
+  * per url — any drift in the extraction grammar or the generator fails
+  * here.
+  */
+class ExtractSpec extends SparkSpec {
+
+  val cfg: SynthConfig = GenGoldens.GoldenCfg
+  lazy val pagesDf = Synth.pages(spark, cfg).toDF().cache()
+  lazy val detailPages = pagesDf.filter(!col("url").contains("/mp/profile_ext"))
+  lazy val listPages = pagesDf.filter(col("url").contains("/mp/profile_ext"))
+
+  test("articles match committed goldens byte-for-byte (sha256 of body)") {
+    val src = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/golden_articles.jsonl"), "UTF-8")
+    val golden = try src.getLines().map { line =>
+      val hash = "\"url_hash\":(-?\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+      val sha = "\"body_sha\":\"([0-9a-f]+)\"".r.findFirstMatchIn(line).get.group(1)
+      val title = "\"title\":\"(.*?)\",\"body_sha\"".r.findFirstMatchIn(line).get.group(1)
+      val read = "\"read_count\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+      val like = "\"like_count\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+      val pub = "\"publish_unix\":(-?\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+      hash -> ((sha, title, read, like, pub))
+    }.toMap finally src.close()
+
+    val got = Extract.articles(detailPages)
+      .select(col("url_hash"), col("body"), col("title"), col("read_count"),
+        col("like_count"), col("publish_ts").cast("long").as("pub"))
+      .collect()
+
+    assert(got.length === golden.size, "article row count mismatch vs golden")
+    got.foreach { r =>
+      val (sha, title, read, like, pub) = golden(r.getLong(0))
+      assert(GenGoldens.sha256(r.getString(1)) === sha,
+        s"body byte-identity violated for url_hash=${r.getLong(0)}")
+      assert(r.getString(2) === title)
+      assert(r.getInt(3) === read)
+      assert(r.getInt(4) === like)
+      assert(r.getLong(5) === pub)
+    }
+  }
+
+  test("body is untrimmed and exactly the div contents") {
+    val html = Synth.articleHtml(cfg, 3, 1704067200L)
+    val body = "(?s)<div id=\"js_content\"[^>]*>(.*?)</div>".r
+      .findFirstMatchIn(html).get.group(1)
+    assert(body.startsWith("\n<p>") && body.endsWith("</p>\n"))
+    import spark.implicits._
+    val got = Seq(html).toDF("text").select(Extract.bodyCol($"text")).as[String].head()
+    assert(got === body)
+    assert(got.getBytes(UTF_8).sameElements(body.getBytes(UTF_8)))
+  }
+
+  test("comments explode with stable idx, content, timestamps") {
+    val c = Extract.comments(detailPages)
+    assert(c.columns.toSeq ===
+      Seq("url_hash", "idx", "content", "nick_name", "like_count", "create_ts"))
+    assert(c.count() > 0)
+    // idx dense from 0 per url_hash
+    val bad = c.groupBy("url_hash")
+      .agg(min("idx").as("mn"), max("idx").as("mx"), count("*").as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1)
+    assert(bad.count() === 0)
+  }
+
+  test("list-page discovery yields all article urls + pagination, drops type-51") {
+    val d = Extract.discovered(listPages).cache()
+    val details = d.filter(col("kind") === "detail")
+    // every generated article is discovered exactly once
+    assert(details.count() === cfg.nArticles.toLong)
+    val expected = (0 until cfg.nArticles)
+      .map(i => UrlCanon.canonicalize(Synth.articleUrlRaw(cfg, i))).toSet
+    val gotUrls = details.select("url").collect().map(_.getString(0)).toSet
+    assert(gotUrls === expected)
+    // pagination: every non-final list page yields its successor
+    val lists = d.filter(col("kind") === "list")
+    assert(lists.count() === (cfg.nAccounts * (cfg.pagesPerAccount - 1)).toLong)
+    // biz extracted from url for all mp.weixin urls
+    assert(d.filter(col("biz") === "").count() === 0)
+    d.unpersist()
+  }
+
+  test("malformed pages extract as null/empty, never throw (ANSI-safe)") {
+    import spark.implicits._
+    val junk = Seq(
+      ("https://mp.weixin.example/s?__biz=BIZX&mid=1&idx=1&sn=ff", "<html>no body here"),
+      ("https://hostX.example/page/1", ""),
+      ("https://h.example/x", "<div id=\"js_content\">partial</div>" +
+        "<script>var ct = \"notanumber\";</script>"))
+      .toDF("url", "text")
+    // bodiless rows are dropped; the partial row survives with null counts
+    val arts = Extract.articles(junk).collect()
+    assert(arts.length === 1)
+    assert(arts.head.isNullAt(arts.head.fieldIndex("publish_ts")))
+    assert(arts.head.isNullAt(arts.head.fieldIndex("read_count")))
+    // truncated inner list JSON → zero discovered rows, no exception
+    val badList = Seq(
+      ("https://mp.weixin.example/mp/profile_ext?action=getmsg&__biz=BIZX&offset=0",
+        """{"ret":0,"can_msg_continue":1,"next_offset":10,"general_msg_list":"{\"list\":[{bad"""))
+      .toDF("url", "text")
+    val d = Extract.discovered(badList).collect()
+    assert(d.count(_.getAs[String]("kind") == "detail") === 0)
+  }
+
+  test("discovered urls are canonical (volatile params stripped, idempotent)") {
+    val urls = Extract.discovered(listPages)
+      .select("url").collect().map(_.getString(0))
+    urls.foreach { u =>
+      assert(!u.contains("chksm=") && !u.contains("scene="))
+      assert(UrlCanon.canonicalize(u) === u)
+    }
+  }
+}

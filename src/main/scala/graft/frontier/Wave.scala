@@ -1,0 +1,257 @@
+package graft.frontier
+
+import graft.extract.Extract
+import graft.model._
+import graft.seen.{SeenSet, SeenState}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** One crawl wave = one typed Dataset pipeline (SURVEY.md §4.2):
+  *
+  *   frontier(k) → robots gate → seen dedupe (bloom/cuckoo + exact)
+  *     → in-batch dedupe → host-salted repartition
+  *     → token-bucket mapPartitions (fetch/defer)
+  *     → fetch-join pages → extract (articles+comments / discovery)
+  *     → frontier(k+1) = deferred ∪ discovered
+  *
+  * Determinism contract (BASELINE.json north_rule): every decision is a
+  * pure function of (wave, priority, url_hash) and the input tables —
+  * never wall clock, partition index (except as reported lineage), or
+  * iteration order. All tie-breaks end in url_hash, so the emitted crawl
+  * order replays identically across parallelism levels and kill/resume.
+  */
+object Wave {
+
+  final case class WaveConfig(
+      /** Hosts with more frontier rows than this get salted into
+        * ceil(count/target) buckets — derived from the DATA each wave,
+        * not hardcoded (skew handling, SURVEY.md §8 hard-parts). */
+      targetBucketRows: Long = 5000L,
+      /** Politeness tokens for hosts absent from the budgets table. */
+      defaultTokens: Int = 8,
+      /** Shuffle parallelism for the salted repartition; 0 = leave to AQE. */
+      numPartitions: Int = 0)
+
+  final case class WaveResult(
+      decisions: Dataset[FetchDecision],
+      articles: DataFrame,
+      comments: DataFrame,
+      discovered: DataFrame,
+      frontierNext: DataFrame,
+      seenDelta: DataFrame,
+      crawlOrder: DataFrame,
+      denied: DataFrame,
+      dedupedCount: Long,
+      deniedCount: Long)
+
+  // ------------------------------------------------------------- robots
+
+  /** Robots gating (J4/P3): longest-prefix-match per URL, default-allow
+    * when a host has no rules. Zero shuffle on the frontier: rules are
+    * pre-aggregated per host (tiny), broadcast, and the match is a
+    * higher-order `aggregate` over the rules array — no UDF, no window.
+    */
+  def robotsGate(frontier: DataFrame, robots: DataFrame): (DataFrame, DataFrame) = {
+    val rulesByHost = robots
+      .groupBy(col("host"))
+      .agg(collect_list(struct(col("path_prefix"), col("allowed"))).as("__rules"))
+    val withPath = frontier.withColumn("__path",
+      coalesce(parse_url(col("url"), lit("PATH")), lit("/")))
+    val joined = withPath.join(broadcast(rulesByHost), Seq("host"), "left")
+    // longest matching prefix wins; no rules / no match → allow
+    val verdict = aggregate(
+      filter(col("__rules"),
+        r => startswith(col("__path"), r.getField("path_prefix"))),
+      struct(lit(-1).as("len"), lit(true).as("allowed")),
+      (acc, r) => when(length(r.getField("path_prefix")) > acc.getField("len"),
+        struct(length(r.getField("path_prefix")).as("len"),
+          r.getField("allowed").as("allowed"))).otherwise(acc))
+    val tagged = joined.withColumn("__allowed",
+      when(col("__rules").isNull, lit(true)).otherwise(verdict.getField("allowed")))
+      .drop("__rules", "__path")
+    (tagged.filter(col("__allowed")).drop("__allowed"),
+      tagged.filter(!col("__allowed")).drop("__allowed"))
+  }
+
+  // -------------------------------------------------- in-batch dedupe
+
+  /** W3 first-wins dedupe inside one frontier batch: one row per
+    * url_hash, deterministic winner by (priority, kind, url). */
+  def dedupeInBatch(frontier: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url_hash"))
+      .orderBy(col("priority").asc, col("kind").asc, col("url").asc)
+    frontier.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------ politeness budgets
+
+  /** Host-salted token-bucket enforcement (U5/W2 — the one deliberate
+    * non-Catalyst island, mandated by BASELINE.json north_star).
+    *
+    * Salting: hosts whose row count exceeds cfg.targetBucketRows are
+    * split into ceil(count/target) salt buckets by pmod(url_hash, n) —
+    * the mp.weixin-style hot host no longer lands on one task. The
+    * host's per-wave token budget is split across buckets (bucket s
+    * gets t/n + 1 if s < t mod n), so per-host fetched ≤ tokens holds
+    * exactly. Within a bucket, rows are consumed in (priority, url_hash)
+    * order — sortWithinPartitions after repartition on (host, salt)
+    * makes groups contiguous and the scan deterministic.
+    */
+  def enforceBudgets(
+      frontier: DataFrame,
+      budgets: DataFrame,
+      cfg: WaveConfig): Dataset[FetchDecision] = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+
+    // data-derived salt factors: only hot hosts, collected is tiny
+    val saltCounts = frontier.groupBy("host").count()
+      .filter(col("count") > cfg.targetBucketRows)
+      .select(col("host"),
+        ceil(col("count").cast("double") / cfg.targetBucketRows)
+          .cast(IntegerType).as("n_salts"))
+
+    val annotated = frontier
+      .join(broadcast(saltCounts), Seq("host"), "left")
+      .join(broadcast(budgets.select(col("host"), col("tokens_per_round"))),
+        Seq("host"), "left")
+      .na.fill(Map("n_salts" -> 1, "tokens_per_round" -> cfg.defaultTokens))
+      .withColumn("salt", pmod(col("url_hash"), col("n_salts")).cast(IntegerType))
+      .select(col("url"), col("url_hash"), col("host"), col("biz"), col("kind"),
+        col("wave"), col("priority"), col("discovered_ts"),
+        col("n_salts").cast(IntegerType), col("tokens_per_round").cast(IntegerType),
+        col("salt"))
+      .as[BudgetRow]
+
+    val parted =
+      if (cfg.numPartitions > 0) annotated.repartition(cfg.numPartitions, col("host"), col("salt"))
+      else annotated.repartition(col("host"), col("salt"))
+
+    parted
+      .sortWithinPartitions(col("host"), col("salt"), col("priority"), col("url_hash"))
+      .mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var curHost: String = null
+        var curSalt: Int = -1
+        var remaining = 0
+        it.map { r =>
+          if (r.host != curHost || r.salt != curSalt) {
+            curHost = r.host; curSalt = r.salt
+            val base = r.tokens_per_round / r.n_salts
+            remaining = base + (if (r.salt < r.tokens_per_round % r.n_salts) 1 else 0)
+          }
+          val take = remaining > 0
+          if (take) remaining -= 1
+          FetchDecision(r.url, r.url_hash, r.host, r.biz, r.kind, r.wave,
+            r.priority, r.discovered_ts, take, pid)
+        }
+      }
+  }
+
+  // ------------------------------------------------------------ wave
+
+  /** Runs one full wave. `pagesIdx` must be the canonical page index:
+    * (url_hash, url, text) keyed by canonicalized URL (see
+    * [[pageIndex]]). `seenExact` holds url_hash keys matching `state`'s
+    * sketches. Mutates nothing; all outputs are returned. */
+  def run(
+      spark: SparkSession,
+      waveNo: Int,
+      frontier: DataFrame,
+      seenExact: DataFrame,
+      state: SeenState,
+      robots: DataFrame,
+      budgets: DataFrame,
+      pagesIdx: DataFrame,
+      cfg: WaveConfig = WaveConfig()): WaveResult = {
+    import spark.implicits._
+
+    val batch = dedupeInBatch(frontier)
+    val (allowed, denied) = robotsGate(batch, robots)
+    val fresh = SeenSet.notSeen(allowed, seenExact, state)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allowedCount = allowed.count()
+    val freshCount = fresh.count()
+    val deniedCount = denied.count()
+
+    val decisions = enforceBudgets(fresh, budgets, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toFetch = decisions.filter(col("fetched")).toDF()
+
+    // J1 fetch-simulate: equi-join on url_hash against the canonical page
+    // index. At cluster scale both sides are bucketed by url_hash so this
+    // is a shuffle-free SMJ; locally AQE picks (frontier side is ≤ the
+    // per-wave token budget, typically broadcastable).
+    val joined = toFetch.join(pagesIdx.select(col("url_hash"), col("text")),
+      Seq("url_hash"), "inner")
+
+    val detailPages = joined.filter(col("kind") === "detail")
+      .select(col("url"), col("text"), col("wave"))
+    val listPages = joined.filter(col("kind") === "list")
+      .select(col("url"), col("text"))
+
+    val articles = Extract.articles(detailPages)
+    val comments = Extract.comments(detailPages)
+
+    // discovery → frontier entries for wave k+1 with per-account recency
+    // priority: lists first (0), details ranked newest-first per biz (W1)
+    val disc = Extract.discovered(listPages)
+    val wPrio = Window.partitionBy(col("biz"))
+      .orderBy(col("publish_unix").desc, col("url_hash").asc)
+    val discovered = disc.withColumn("priority",
+      when(col("kind") === "list", lit(0L))
+        .otherwise(row_number().over(wPrio).cast(LongType)))
+      .withColumn("wave", lit(waveNo + 1))
+      .withColumn("discovered_ts",
+        coalesce(timestamp_seconds(col("publish_unix")),
+          timestamp_seconds(lit(graft.synth.Synth.BaseUnix))))
+      .select("url", "url_hash", "host", "biz", "kind", "wave", "priority",
+        "discovered_ts")
+
+    val deferred = decisions.filter(!col("fetched")).toDF()
+      .withColumn("wave", lit(waveNo + 1))
+      .select("url", "url_hash", "host", "biz", "kind", "wave", "priority",
+        "discovered_ts")
+
+    val frontierNext = dedupeInBatch(deferred.unionByName(discovered))
+
+    val seenDelta = toFetch.select(col("url_hash"),
+      col("partition_id"), lit(waveNo).as("wave_added"))
+
+    val crawlOrder = toFetch.select(col("wave"), col("priority"),
+      col("url_hash"), col("url"))
+
+    WaveResult(decisions, articles, comments, discovered, frontierNext,
+      seenDelta, crawlOrder, denied,
+      dedupedCount = allowedCount - freshCount,
+      deniedCount = deniedCount)
+  }
+
+  /** Canonical page index for the fetch join: url re-keyed to canonical
+    * form, html column NEVER read (column pruning — the fat column stays
+    * on disk; SURVEY.md §5). */
+  def pageIndex(pages: DataFrame): DataFrame =
+    pages.select(
+      graft.url.UrlCanon.urlHashCol(col("url")).as("url_hash"),
+      graft.url.UrlCanon.canonicalCol(col("url")).as("url"),
+      col("text"))
+
+  /** G4 per-partition metrics rollup from the wave's decisions. */
+  def metrics(runId: String, waveNo: Int, decisions: Dataset[FetchDecision],
+      dedupedCount: Long, deniedCount: Long, extractedCount: Long,
+      wallMs: Long): DataFrame = {
+    val spark = decisions.sparkSession
+    decisions.toDF().groupBy(col("partition_id"))
+      .agg(sum(when(col("fetched"), 1L).otherwise(0L)).as("fetched"),
+        sum(when(!col("fetched"), 1L).otherwise(0L)).as("deferred"))
+      .select(lit(runId).as("run_id"), lit(waveNo).as("wave"),
+        col("partition_id"), col("fetched"),
+        lit(dedupedCount).as("deduped"), lit(deniedCount).as("denied"),
+        col("deferred"), lit(extractedCount).as("extracted"),
+        lit(wallMs).as("wall_ms"))
+  }
+}

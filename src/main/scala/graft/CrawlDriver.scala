@@ -36,11 +36,12 @@ object CrawlDriver {
       budgets: DataFrame,
       cfg: RunConfig): Unit = {
     import spark.implicits._
-    val emptySeen = Seq.empty[graft.model.SeenEntry].toDS().toDF()
+    val emptyFetched = Seq.empty[graft.model.CrawlOrder].toDS().toDF()
+      .withColumn("host", lit("")).withColumn("partition_id", lit(0))
     catalog.commit(0, wave = -1,
       tables = Map(
         "frontier" -> frontier0,
-        "seen_delta" -> emptySeen,
+        "fetched" -> emptyFetched,
         "robots" -> robots,
         "budgets" -> budgets),
       sketch = Some(SeenState.empty(cfg.seenCapacity, cfg.nShards).serialize()),
@@ -48,16 +49,16 @@ object CrawlDriver {
   }
 
   /** Run wave k (reading snapshot k, committing snapshot k+1).
-    * Returns (fetched, extracted) counts. */
+    * Returns (fetched, extracted, frontierNext) counts. */
   def runWave(
       spark: SparkSession,
       catalog: SnapshotCatalog,
       pagesIdx: DataFrame,
       k: Int,
-      cfg: RunConfig): (Long, Long) = {
+      cfg: RunConfig): (Long, Long, Long) = {
     val t0 = System.nanoTime()
     val frontier = catalog.readTable(k, "frontier")
-    val seenExact = catalog.readDeltasUpTo(k, "seen_delta").select("url_hash")
+    val seenExact = catalog.readDeltasUpTo(k, "fetched").select("url_hash")
     val state = SeenState.deserialize(catalog.readSketch(k).get)
     val robots = catalog.readTable(0, "robots")
     val budgets = catalog.readTable(0, "budgets")
@@ -65,42 +66,55 @@ object CrawlDriver {
     val r = Wave.run(spark, k, frontier, seenExact, state, robots, budgets,
       pagesIdx, cfg.waveCfg)
 
-    // wave's new seen keys → merge into the run sketches (same capacity)
-    val newState = SeenState.build(r.seenDelta, "url_hash",
-      cfg.seenCapacity, cfg.nShards)
-    state.mergeInPlace(newState)
+    // sketch build + extracted count are independent jobs → concurrent
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fNewState = Future(SeenState.build(r.fetched.select("url_hash"),
+      "url_hash", cfg.seenCapacity, cfg.nShards))
+    val fExtracted = Future(r.articles.count())
+    state.mergeInPlace(Await.result(fNewState, Duration.Inf))
+    val extracted = Await.result(fExtracted, Duration.Inf)
 
-    val extracted = r.articles.count()
     val wallMs = (System.nanoTime() - t0) / 1000000L
     val metrics = Wave.metrics(cfg.runId, k, r.decisions, r.dedupedCount,
       r.deniedCount, extracted, wallMs)
 
-    catalog.commit(k + 1, wave = k,
+    val counts = catalog.commit(k + 1, wave = k,
       tables = Map(
         "frontier" -> r.frontierNext,
-        "seen_delta" -> r.seenDelta,
+        "fetched" -> r.fetched,
         "articles_delta" -> r.articles,
         "comments_delta" -> r.comments,
-        "crawl_order" -> r.crawlOrder,
         "denied" -> r.denied.select("url_hash", "url", "host"),
         "metrics" -> metrics),
       sketch = Some(state.serialize()),
       meta = Map("run_id" -> cfg.runId))
 
-    val fetched = r.seenDelta.count()
-    r.decisions.unpersist()
-    (fetched, extracted)
+    val fetched = counts("fetched")
+    r.cached.foreach(_.unpersist())
+    val totalMs = (System.nanoTime() - t0) / 1000000L
+    System.err.println(s"[wave $k] wall=${totalMs}ms (pre-commit=${wallMs}ms) " +
+      s"fetched=$fetched extracted=$extracted")
+    (fetched, extracted, counts("frontier"))
   }
 
-  /** Resume-aware loop: picks up from the latest committed snapshot. */
+  /** Resume-aware loop: picks up from the latest committed snapshot and
+    * stops early when the frontier drains. */
   def run(spark: SparkSession, catalog: SnapshotCatalog, pagesIdx: DataFrame,
       cfg: RunConfig): Seq[(Int, Long, Long)] = {
     val start = catalog.latest.getOrElse(
       sys.error("catalog not initialized — call init() first"))
-    (start until cfg.nWaves).map { k =>
-      val (f, e) = runWave(spark, catalog, pagesIdx, k, cfg)
-      (k, f, e)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    var k = start
+    var frontierRows = -1L
+    while (k < cfg.nWaves && frontierRows != 0L) {
+      val (f, e, next) = runWave(spark, catalog, pagesIdx, k, cfg)
+      out += ((k, f, e))
+      frontierRows = next
+      k += 1
     }
+    out.toSeq
   }
 
   /** Standalone main: synthesize a corpus, crawl it for N waves, print a
@@ -117,6 +131,10 @@ object CrawlDriver {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the per-wave frontier slice is always tiny next to the pages
+      // table: broadcast it instead of shuffling the whole page index
+      // to disk (at cluster scale the same join is a bucketed SMJ)
+      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -142,7 +160,7 @@ object CrawlDriver {
       println(s"[crawl] wave $k: fetched=$f extracted=$e")
     }
     val totalArticles = catalog.readDeltasUpTo(catalog.latest.get, "articles_delta").count()
-    val totalSeen = catalog.readDeltasUpTo(catalog.latest.get, "seen_delta").count()
+    val totalSeen = catalog.readDeltasUpTo(catalog.latest.get, "fetched").count()
     println(s"[crawl] done: snapshots=${catalog.latest.get} articles=$totalArticles seen=$totalSeen dir=$dir")
     spark.stop()
   }

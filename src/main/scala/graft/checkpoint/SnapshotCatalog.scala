@@ -41,28 +41,39 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
   }
 
   /** Atomically commit snapshot `id`: tables → parquet, sketch → bin,
-    * manifest last, then rename. Returns the manifest JSON. */
+    * manifest last, then rename. Returns per-table row counts. */
   def commit(
       id: Int,
       wave: Int,
       tables: Map[String, DataFrame],
       sketch: Option[Array[Byte]] = None,
-      meta: Map[String, String] = Map.empty): String = {
+      meta: Map[String, String] = Map.empty): Map[String, Long] = {
     require(latest.forall(_ < id), s"snapshot $id already committed")
     val tmp = root.resolve(s"tmp-$id")
     deleteRecursively(tmp)
     Files.createDirectories(tmp)
 
-    val tableEntries = tables.toSeq.sortBy(_._1).map { case (name, df) =>
-      val dir = tmp.resolve(name)
-      df.write.mode("overwrite").parquet(dir.toString)
-      val files = Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(f => f.endsWith(".parquet"))
-        .toSeq.sorted
-      val rows = spark.read.parquet(dir.toString).count()
-      s""""$name":{"rows":$rows,"files":[${files.map(f => s""""$f"""").mkString(",")}]}"""
-    }
+    // tables are independent → write them as CONCURRENT Spark jobs
+    // (driver-side futures); the scheduler interleaves their stages, so
+    // commit wall ≈ the largest table, not the sum of 2×N job latencies
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val written = Await.result(
+      Future.traverse(tables.toSeq.sortBy(_._1)) { case (name, df) =>
+        Future {
+          val dir = tmp.resolve(name)
+          df.write.mode("overwrite").parquet(dir.toString)
+          val files = Files.list(dir).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(f => f.endsWith(".parquet"))
+            .toSeq.sorted
+          val rows = spark.read.parquet(dir.toString).count()
+          (name, rows,
+            s""""$name":{"rows":$rows,"files":[${files.map(f => s""""$f"""").mkString(",")}]}""")
+        }
+      }, Duration.Inf)
+    val tableEntries = written.map(_._3)
     sketch.foreach(b => Files.write(tmp.resolve("sketch.bin"), b))
 
     val parent = latest.map(_.toString).getOrElse("null")
@@ -78,7 +89,7 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
     val dest = snapshotPath(id)
     deleteRecursively(dest)
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    manifest
+    written.map(w => w._1 -> w._2).toMap
   }
 
   def manifest(id: Int): String =

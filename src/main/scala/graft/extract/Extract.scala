@@ -78,21 +78,32 @@ object Extract {
 
   // ------------------------------------------------------- whole tables
 
+  /** Outer payload of the comments script: {"elected_comment":[…]} */
+  val CommentsPayloadSchema: StructType =
+    StructType(Seq(StructField("elected_comment", CommentSchema)))
+
   /** pages(url, text, …) [+ wave] → articles rows (FIXTURES.md §5 schema).
     * Input must be detail pages; rows whose text lacks an article body
-    * extract as empty strings and are filtered out. */
+    * extract as empty strings and are filtered out.
+    *
+    * Uses the fused [[ExtractArticle]] expression (one UTF8String→String
+    * conversion per page instead of six) — byte-identical to the
+    * composed-built-in path, property-tested in ExtractSpec. */
   def articles(pages: DataFrame): DataFrame = {
     val wave = if (pages.columns.contains("wave")) col("wave") else lit(0)
     pages.select(
       UrlCanon.canonicalCol(col("url")).as("url"),
       UrlCanon.urlHashCol(col("url")).as("url_hash"),
       coalesce(parse_url(col("url"), lit("QUERY"), lit("__biz")), lit("")).as("biz"),
-      titleCol(col("text")).as("title"),
-      bodyCol(col("text")).as("body"),
-      publishTsCol(col("text")).as("publish_ts"),
-      readCountCol(col("text")).as("read_count"),
-      likeCountCol(col("text")).as("like_count"),
+      ExtractArticle(col("text")).as("__a"),
       wave.cast(IntegerType).as("wave"))
+      .select(col("url"), col("url_hash"), col("biz"),
+        col("__a.title").as("title"),
+        col("__a.body").as("body"),
+        timestamp_seconds(col("__a.publish_unix")).as("publish_ts"),
+        col("__a.read_count").as("read_count"),
+        col("__a.like_count").as("like_count"),
+        col("wave"))
       .filter(col("body") =!= "")
   }
 
@@ -100,7 +111,8 @@ object Extract {
   def comments(pages: DataFrame): DataFrame = {
     pages.select(
       UrlCanon.urlHashCol(col("url")).as("url_hash"),
-      posexplode(commentsCol(col("text"))).as(Seq("idx", "c")))
+      posexplode(from_json(ExtractArticle(col("text")).getField("comments_json"),
+        CommentsPayloadSchema).getField("elected_comment")).as(Seq("idx", "c")))
       .select(
         col("url_hash"), col("idx"),
         col("c.content").as("content"),
@@ -118,8 +130,15 @@ object Extract {
     * Non-article items (type != 49) are dropped (P4 validity filter).
     */
   def discovered(listPages: DataFrame): DataFrame = {
+    // pass the source wave through as src_wave when present, so callers
+    // can derive the next wave from DATA instead of a lit(waveNo) —
+    // literal-free plans stay identical across waves and hit the
+    // whole-stage-codegen cache instead of recompiling per wave
+    val srcWave = if (listPages.columns.contains("wave")) col("wave")
+      else lit(0).cast(IntegerType)
     val parsed = listPages.select(
       col("url"),
+      srcWave.as("src_wave"),
       get_json_object(col("text"), "$.can_msg_continue").cast(IntegerType)
         .as("can_continue"),
       get_json_object(col("text"), "$.next_offset").as("next_offset"),
@@ -127,22 +146,24 @@ object Extract {
         .as("msgs"))
 
     val details = parsed
-      .select(explode(col("msgs.list")).as("item"))
+      .select(col("src_wave"), explode(col("msgs.list")).as("item"))
       .filter(col("item.comm_msg_info.type") === 49 &&
         col("item.app_msg_ext_info.content_url").isNotNull)
-      .select(explode(concat(
+      .select(col("src_wave"), explode(concat(
         array(col("item.app_msg_ext_info.content_url")),
         coalesce(col("item.app_msg_ext_info.multi_app_msg_item_list.content_url"),
           array()))).as("raw_url"),
         col("item.comm_msg_info.datetime").as("publish_unix"))
-      .select(lit("detail").as("kind"), col("raw_url"), col("publish_unix"))
+      .select(lit("detail").as("kind"), col("raw_url"), col("publish_unix"),
+        col("src_wave"))
 
     val nextLists = parsed
       .filter(col("can_continue") === 1)
       .select(lit("list").as("kind"),
         regexp_replace(col("url"), lit("offset=\\d+"),
           concat(lit("offset="), col("next_offset"))).as("raw_url"),
-        lit(null).cast(LongType).as("publish_unix"))
+        lit(null).cast(LongType).as("publish_unix"),
+        col("src_wave"))
 
     details.unionByName(nextLists)
       .select(
@@ -151,6 +172,6 @@ object Extract {
         UrlCanon.hostCol(col("raw_url")).as("host"),
         coalesce(parse_url(col("raw_url"), lit("QUERY"), lit("__biz")), lit(""))
           .as("biz"),
-        col("kind"), col("publish_unix"))
+        col("kind"), col("publish_unix"), col("src_wave"))
   }
 }

@@ -41,11 +41,15 @@ object Wave {
       comments: DataFrame,
       discovered: DataFrame,
       frontierNext: DataFrame,
-      seenDelta: DataFrame,
-      crawlOrder: DataFrame,
+      /** one row per URL fetched this wave: (wave, priority, url_hash,
+        * url, host, partition_id) — serves both the seen-set delta and
+        * the replay-gate crawl ordering. */
+      fetched: DataFrame,
       denied: DataFrame,
       dedupedCount: Long,
-      deniedCount: Long)
+      deniedCount: Long,
+      /** persisted intermediates — caller unpersists after commit. */
+      cached: Seq[DataFrame])
 
   // ------------------------------------------------------------- robots
 
@@ -169,43 +173,55 @@ object Wave {
       pagesIdx: DataFrame,
       cfg: WaveConfig = WaveConfig()): WaveResult = {
     import spark.implicits._
+    val DISK = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    val batch = dedupeInBatch(frontier)
+    // persist the shared upstream once: every branch below (counts,
+    // writes, discovery) reuses it instead of re-running the gate +
+    // dedupe lineage — at scale each recompute is a full frontier scan
+    val batch = dedupeInBatch(frontier).persist(DISK)
     val (allowed, denied) = robotsGate(batch, robots)
-    val fresh = SeenSet.notSeen(allowed, seenExact, state)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val allowedCount = allowed.count()
-    val freshCount = fresh.count()
-    val deniedCount = denied.count()
+    val fresh = SeenSet.notSeen(allowed, seenExact, state).persist(DISK)
+    // independent count jobs → run concurrently (latency, not throughput)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val Seq(allowedCount, freshCount, deniedCount) = Await.result(
+      Future.sequence(Seq(
+        Future(allowed.count()), Future(fresh.count()), Future(denied.count()))),
+      Duration.Inf)
 
-    val decisions = enforceBudgets(fresh, budgets, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val decisions = enforceBudgets(fresh, budgets, cfg).persist(DISK)
     val toFetch = decisions.filter(col("fetched")).toDF()
 
     // J1 fetch-simulate: equi-join on url_hash against the canonical page
     // index. At cluster scale both sides are bucketed by url_hash so this
     // is a shuffle-free SMJ; locally AQE picks (frontier side is ≤ the
     // per-wave token budget, typically broadcastable).
+    // Persisted: articles, comments, and discovery all read it — without
+    // the cache the join + page scan would run three times per wave.
     val joined = toFetch.join(pagesIdx.select(col("url_hash"), col("text")),
       Seq("url_hash"), "inner")
+      .persist(DISK)
 
     val detailPages = joined.filter(col("kind") === "detail")
       .select(col("url"), col("text"), col("wave"))
     val listPages = joined.filter(col("kind") === "list")
-      .select(col("url"), col("text"))
+      .select(col("url"), col("text"), col("wave"))
 
-    val articles = Extract.articles(detailPages)
+    val articles = Extract.articles(detailPages).persist(DISK)
     val comments = Extract.comments(detailPages)
 
     // discovery → frontier entries for wave k+1 with per-account recency
     // priority: lists first (0), details ranked newest-first per biz (W1)
+    // wave numbers derive from the data (src_wave + 1), never lit(waveNo):
+    // the whole plan is wave-invariant and codegen-cache-friendly
     val disc = Extract.discovered(listPages)
     val wPrio = Window.partitionBy(col("biz"))
       .orderBy(col("publish_unix").desc, col("url_hash").asc)
     val discovered = disc.withColumn("priority",
       when(col("kind") === "list", lit(0L))
         .otherwise(row_number().over(wPrio).cast(LongType)))
-      .withColumn("wave", lit(waveNo + 1))
+      .withColumn("wave", (col("src_wave") + 1).cast(IntegerType))
       .withColumn("discovered_ts",
         coalesce(timestamp_seconds(col("publish_unix")),
           timestamp_seconds(lit(graft.synth.Synth.BaseUnix))))
@@ -213,22 +229,20 @@ object Wave {
         "discovered_ts")
 
     val deferred = decisions.filter(!col("fetched")).toDF()
-      .withColumn("wave", lit(waveNo + 1))
+      .withColumn("wave", (col("wave") + 1).cast(IntegerType))
       .select("url", "url_hash", "host", "biz", "kind", "wave", "priority",
         "discovered_ts")
 
     val frontierNext = dedupeInBatch(deferred.unionByName(discovered))
 
-    val seenDelta = toFetch.select(col("url_hash"),
-      col("partition_id"), lit(waveNo).as("wave_added"))
-
-    val crawlOrder = toFetch.select(col("wave"), col("priority"),
-      col("url_hash"), col("url"))
+    val fetchedTbl = toFetch.select(col("wave"), col("priority"),
+      col("url_hash"), col("url"), col("host"), col("partition_id"))
 
     WaveResult(decisions, articles, comments, discovered, frontierNext,
-      seenDelta, crawlOrder, denied,
+      fetchedTbl, denied,
       dedupedCount = allowedCount - freshCount,
-      deniedCount = deniedCount)
+      deniedCount = deniedCount,
+      cached = Seq(batch, fresh, decisions.toDF(), joined, articles))
   }
 
   /** Canonical page index for the fetch join: url re-keyed to canonical

@@ -24,7 +24,11 @@ final case class SynthConfig(
     nAccounts: Int,
     articlesPerAccount: Int,
     longTail: Int,
-    seed: Long = 42L) {
+    seed: Long = 42L,
+    /** Paragraph-length multiplier: 1 ≈ 1 KB fixture pages (golden-pinned);
+      * bench uses larger values so per-page extraction compute approaches
+      * real 50–100 KB web pages. Does not perturb the RNG draw sequence. */
+    richness: Int = 1) {
   val msgsPerPage = 10
   val pagesPerAccount: Int =
     math.max(1, (articlesPerAccount + msgsPerPage - 1) / msgsPerPage)
@@ -121,8 +125,8 @@ object Synth {
   def articleHtml(cfg: SynthConfig, seedIdx: Int, pubUnix: Long): String = {
     val r = rng(cfg.seed, 1213, seedIdx)
     val title = words(r, 3 + r.nextInt(4))
-    val p1 = words(r, 8 + r.nextInt(13))
-    val p2 = words(r, 8 + r.nextInt(13))
+    val p1 = words(r, (8 + r.nextInt(13)) * cfg.richness)
+    val p2 = words(r, (8 + r.nextInt(13)) * cfg.richness)
     val read = r.nextInt(100001)
     val like = r.nextInt(10001)
     val nC = r.nextInt(6)

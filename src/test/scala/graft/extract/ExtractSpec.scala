@@ -112,6 +112,36 @@ class ExtractSpec extends SparkSpec {
     assert(d.count(_.getAs[String]("kind") == "detail") === 0)
   }
 
+  test("fused ExtractArticle expression == composed built-ins, byte for byte") {
+    import spark.implicits._
+    val a = detailPages.select(
+      col("url"),
+      ExtractArticle(col("text")).as("f"),
+      Extract.titleCol(col("text")).as("title"),
+      Extract.bodyCol(col("text")).as("body"),
+      Extract.publishTsCol(col("text")).cast("long").as("pub"),
+      Extract.readCountCol(col("text")).as("rd"),
+      Extract.likeCountCol(col("text")).as("lk"))
+    a.collect().foreach { r =>
+      val f = r.getStruct(r.fieldIndex("f"))
+      assert(f.getString(0) === r.getString(r.fieldIndex("title")), r.getString(0))
+      assert(f.getString(1) === r.getString(r.fieldIndex("body")), r.getString(0))
+      assert(f.getLong(2) === r.getLong(r.fieldIndex("pub")))
+      assert(f.getInt(3) === r.getInt(r.fieldIndex("rd")))
+      assert(f.getInt(4) === r.getInt(r.fieldIndex("lk")))
+    }
+    // comments via fused payload == comments via composed path
+    val viaFused = Extract.comments(detailPages)
+      .collect().map(_.toSeq).toSet
+    val viaBuiltins = detailPages.select(
+      graft.url.UrlCanon.urlHashCol(col("url")).as("url_hash"),
+      posexplode(Extract.commentsCol(col("text"))).as(Seq("idx", "c")))
+      .select(col("url_hash"), col("idx"), col("c.content"), col("c.nick_name"),
+        col("c.like_num"), timestamp_seconds(col("c.create_time")))
+      .collect().map(_.toSeq).toSet
+    assert(viaFused === viaBuiltins)
+  }
+
   test("discovered urls are canonical (volatile params stripped, idempotent)") {
     val urls = Extract.discovered(listPages)
       .select("url").collect().map(_.getString(0))

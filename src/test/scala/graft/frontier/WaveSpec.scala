@@ -31,7 +31,7 @@ class WaveSpec extends SparkSpec {
 
   private def orderKey(c: SnapshotCatalog): Seq[(Int, Long, Long)] = {
     val last = c.latest.get
-    c.readDeltasUpTo(last, "crawl_order")
+    c.readDeltasUpTo(last, "fetched")
       .select($"wave", $"priority", $"url_hash")
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       .sortBy(identity).toSeq
@@ -47,7 +47,7 @@ class WaveSpec extends SparkSpec {
       val k = "host(\\d+)\\.example".r.findFirstMatchIn(host).get.group(1).toInt
       assert(k % 13 === 0)
     }
-    val fetched = c.readDeltasUpTo(c.latest.get, "seen_delta").select("url_hash")
+    val fetched = c.readDeltasUpTo(c.latest.get, "fetched").select("url_hash")
     assert(fetched.join(denied, Seq("url_hash"), "inner").count() === 0)
   }
 
@@ -55,7 +55,7 @@ class WaveSpec extends SparkSpec {
     val c = crawl(freshDir(), 3)
     val budgets = c.readTable(0, "budgets")
     (1 to c.latest.get).foreach { snap =>
-      val perHost = c.readTable(snap, "crawl_order")
+      val perHost = c.readTable(snap, "fetched")
         .withColumn("host", graft.url.UrlCanon.hostCol($"url"))
         .groupBy("host").count()
         .join(budgets, Seq("host"))
@@ -66,7 +66,7 @@ class WaveSpec extends SparkSpec {
 
   test("no url is ever fetched twice (seen set is exact)") {
     val c = crawl(freshDir(), 4)
-    val dupes = c.readDeltasUpTo(c.latest.get, "seen_delta")
+    val dupes = c.readDeltasUpTo(c.latest.get, "fetched")
       .groupBy("url_hash").count().filter($"count" > 1)
     assert(dupes.count() === 0)
   }
@@ -87,9 +87,9 @@ class WaveSpec extends SparkSpec {
     val resumed = crawl(dirB, 4, fromScratch = false) // resume from latest
     assert(orderKey(resumed) === orderKey(full))
     // and the seen sets agree exactly
-    val sa = full.readDeltasUpTo(full.latest.get, "seen_delta")
+    val sa = full.readDeltasUpTo(full.latest.get, "fetched")
       .select("url_hash").as[Long].collect().sorted.toSeq
-    val sb = resumed.readDeltasUpTo(resumed.latest.get, "seen_delta")
+    val sb = resumed.readDeltasUpTo(resumed.latest.get, "fetched")
       .select("url_hash").as[Long].collect().sorted.toSeq
     assert(sa === sb)
   }
@@ -102,7 +102,7 @@ class WaveSpec extends SparkSpec {
     val c = crawl(freshDir(), 3, waveCfg = salted)
     val budgets = c.readTable(0, "budgets")
     (1 to c.latest.get).foreach { snap =>
-      val over = c.readTable(snap, "crawl_order")
+      val over = c.readTable(snap, "fetched")
         .withColumn("host", graft.url.UrlCanon.hostCol($"url"))
         .groupBy("host").count()
         .join(budgets, Seq("host"))
@@ -114,7 +114,7 @@ class WaveSpec extends SparkSpec {
   test("list-then-detail ordering with per-account recency priority") {
     val c = crawl(freshDir(), 3)
     // wave 1 fetches: list pages (priority 0) + newest details per account
-    val w1 = c.readTable(2, "crawl_order")
+    val w1 = c.readTable(2, "fetched")
     val lists = w1.filter($"url".contains("profile_ext"))
     val details = w1.filter(!$"url".contains("profile_ext"))
     assert(lists.count() > 0 && details.count() > 0)

@@ -109,6 +109,24 @@ object TextQueries {
     // candidates = same-bucket join instead of N×N brute force)
     "q_ann_lsh_bucket" -> ((s, d) => annBuckets(t(s, d, "embeddings"))),
 
+    // embedding-cosine near-dup pairs: candidates from the LSH bucket
+    // self-join (shuffle on bucket — N²/2^bits pairs, not N²), verified
+    // with exact cosine. Rows-only: hash buckets are Spark-specific.
+    "q_embed_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val b = annBuckets(e)
+      val withVec = b.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      val a1 = withVec.select(col("bucket"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"))
+      val a2 = withVec.select(col("bucket"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"))
+      a1.join(a2, Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.1)
+    }),
+
     // ---- text analysis ---------------------------------------------
     "q_lang_id" -> ((s, d) => {
       t(s, d, "documents").select(col("doc_id"), langIdCol(col("text")).as("lang_pred"))

@@ -1,0 +1,52 @@
+package graft.checkpoint
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+
+class SnapshotCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCatalog(): (SnapshotCatalog, String) = {
+    val dir = Files.createTempDirectory("catalog-spec").toString
+    (new SnapshotCatalog(dir, spark), dir)
+  }
+
+  test("commit is atomic: uncommitted tmp dirs are invisible to latest/read") {
+    val (c, dir) = freshCatalog()
+    assert(c.latest === None)
+    val counts = c.commit(0, -1, Map("t" -> Seq((1, "a"), (2, "b")).toDF("k", "v")))
+    assert(counts("t") === 2L)
+    // simulate a crash mid-commit: a tmp- turd with partial content
+    Files.createDirectories(Paths.get(dir, "tmp-1", "t"))
+    assert(c.latest === Some(0))
+    // and a snapshot dir without manifest (rename happened, manifest lost)
+    Files.createDirectories(Paths.get(dir, "snapshots", "000007"))
+    assert(c.latest === Some(0), "manifest-less snapshot must be ignored")
+  }
+
+  test("manifest records per-table rows + files; delta union reads all") {
+    val (c, _) = freshCatalog()
+    c.commit(0, -1, Map("d" -> Seq(1, 2).toDF("x")))
+    c.commit(1, 0, Map("d" -> Seq(3).toDF("x")))
+    c.commit(2, 1, Map("d" -> Seq(4, 5, 6).toDF("x")))
+    val m = c.manifest(2)
+    assert(m.contains(""""snapshot_id":2""") && m.contains(""""parent_id":1"""))
+    assert(m.contains(""""rows":3""") && m.contains(".parquet"))
+    assert(c.readDeltasUpTo(2, "d").as[Int].collect().sorted.toSeq === Seq(1, 2, 3, 4, 5, 6))
+    assert(c.readDeltasUpTo(1, "d").count() === 3)
+    // sketch round-trip
+    c.commit(3, 2, Map("d" -> Seq(7).toDF("x")), sketch = Some(Array[Byte](1, 2, 3)))
+    assert(c.readSketch(3).get.toSeq === Seq[Byte](1, 2, 3))
+    assert(c.readSketch(2) === None)
+  }
+
+  test("commit refuses to go backwards") {
+    val (c, _) = freshCatalog()
+    c.commit(0, -1, Map("d" -> Seq(1).toDF("x")))
+    c.commit(1, 0, Map("d" -> Seq(2).toDF("x")))
+    intercept[IllegalArgumentException] {
+      c.commit(1, 0, Map("d" -> Seq(9).toDF("x")))
+    }
+  }
+}

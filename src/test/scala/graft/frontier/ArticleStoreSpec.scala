@@ -1,0 +1,67 @@
+package graft.frontier
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import graft.checkpoint.SnapshotCatalog
+import org.apache.spark.sql.functions._
+
+class ArticleStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def art(hash: Long, biz: String, read: Int, wave: Int) =
+    (s"https://h/$hash", hash, biz, s"t$hash", s"b$hash",
+      new Timestamp(1704067200000L), read, 0, wave)
+
+  private val cols = Seq("url", "url_hash", "biz", "title", "body",
+    "publish_ts", "read_count", "like_count", "wave")
+
+  test("merged view is last-write-wins per url_hash across snapshots") {
+    val dir = java.nio.file.Files.createTempDirectory("store").toString
+    val c = new SnapshotCatalog(dir, spark)
+    c.commit(0, -1, Map("articles_delta" ->
+      Seq(art(1, "A", 100, 0), art(2, "A", 5, 0)).toDF(cols: _*)))
+    // re-crawl updates read counts for url 1
+    c.commit(1, 0, Map("articles_delta" ->
+      Seq(art(1, "A", 250, 1), art(3, "B", 7, 1)).toDF(cols: _*)))
+    val merged = ArticleStore.articles(c, 1)
+    assert(merged.count() === 3)
+    assert(merged.filter($"url_hash" === 1).select("read_count").as[Int].head() === 250)
+    val stats = ArticleStore.accountStats(c, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats === Map("A" -> 2L, "B" -> 1L))
+  }
+
+  test("explicit upsert: fresh wins, old survives, new keys appended") {
+    val cur = Seq((1L, "old1", 10), (2L, "old2", 20)).toDF("url_hash", "title", "read_count")
+    val fresh = Seq((2L, "new2", 99), (3L, "new3", 30)).toDF("url_hash", "title", "read_count")
+    val got = ArticleStore.upsert(cur, fresh).orderBy("url_hash")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    assert(got === Seq((1L, "old1", 10), (2L, "new2", 99), (3L, "new3", 30)))
+  }
+
+  test("wave metrics carry per-partition lineage and consistent counts") {
+    // run 2 waves and validate the metrics table invariants (G4)
+    val cfg = graft.synth.SynthConfig(nAccounts = 3, articlesPerAccount = 10, longTail = 40)
+    val idx = Wave.pageIndex(graft.synth.Synth.pages(spark, cfg).toDF())
+    val dir = java.nio.file.Files.createTempDirectory("metrics").toString
+    val catalog = new SnapshotCatalog(dir, spark)
+    val rc = graft.CrawlDriver.RunConfig(dir, nWaves = 2, seenCapacity = 10000L, nShards = 2)
+    graft.CrawlDriver.init(spark, catalog,
+      graft.synth.Synth.seedFrontier(spark, cfg).toDF(),
+      graft.synth.Synth.robots(spark, cfg).toDF(),
+      graft.synth.Synth.budgets(spark, cfg).toDF(), rc)
+    graft.CrawlDriver.run(spark, catalog, idx, rc)
+    (1 to catalog.latest.get).foreach { snap =>
+      val m = catalog.readTable(snap, "metrics")
+      assert(m.count() > 0)
+      val total = m.agg(sum("fetched")).as[Long].head()
+      assert(total === catalog.readTable(snap, "fetched").count(),
+        "per-partition fetched must sum to the wave's fetched rows")
+      val denied = m.select(max("denied")).as[Long].head()
+      assert(denied === catalog.readTable(snap, "denied").count())
+      assert(m.select(max("extracted")).as[Long].head() ===
+        catalog.readTable(snap, "articles_delta").count())
+    }
+  }
+}

@@ -92,12 +92,11 @@ object Extract {
   def articles(pages: DataFrame): DataFrame = {
     val wave = if (pages.columns.contains("wave")) col("wave") else lit(0)
     pages.select(
-      UrlCanon.canonicalCol(col("url")).as("url"),
-      UrlCanon.urlHashCol(col("url")).as("url_hash"),
-      coalesce(parse_url(col("url"), lit("QUERY"), lit("__biz")), lit("")).as("biz"),
+      graft.url.UrlParts(col("url")).as("__u"),
       ExtractArticle(col("text")).as("__a"),
       wave.cast(IntegerType).as("wave"))
-      .select(col("url"), col("url_hash"), col("biz"),
+      .select(col("__u.url").as("url"), col("__u.url_hash").as("url_hash"),
+        col("__u.biz").as("biz"),
         col("__a.title").as("title"),
         col("__a.body").as("body"),
         timestamp_seconds(col("__a.publish_unix")).as("publish_ts"),
@@ -110,7 +109,7 @@ object Extract {
   /** Exploded comments keyed by url_hash (SURVEY.md §3 U6). */
   def comments(pages: DataFrame): DataFrame = {
     pages.select(
-      UrlCanon.urlHashCol(col("url")).as("url_hash"),
+      graft.url.UrlParts(col("url")).getField("url_hash").as("url_hash"),
       posexplode(from_json(ExtractArticle(col("text")).getField("comments_json"),
         CommentsPayloadSchema).getField("elected_comment")).as(Seq("idx", "c")))
       .select(
@@ -166,12 +165,10 @@ object Extract {
         col("src_wave"))
 
     details.unionByName(nextLists)
-      .select(
-        UrlCanon.canonicalCol(col("raw_url")).as("url"),
-        UrlCanon.urlHashCol(col("raw_url")).as("url_hash"),
-        UrlCanon.hostCol(col("raw_url")).as("host"),
-        coalesce(parse_url(col("raw_url"), lit("QUERY"), lit("__biz")), lit(""))
-          .as("biz"),
+      .select(graft.url.UrlParts(col("raw_url")).as("__u"),
+        col("kind"), col("publish_unix"), col("src_wave"))
+      .select(col("__u.url").as("url"), col("__u.url_hash").as("url_hash"),
+        col("__u.host").as("host"), col("__u.biz").as("biz"),
         col("kind"), col("publish_unix"), col("src_wave"))
   }
 }

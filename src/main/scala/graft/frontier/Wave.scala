@@ -249,10 +249,9 @@ object Wave {
     * form, html column NEVER read (column pruning — the fat column stays
     * on disk; SURVEY.md §5). */
   def pageIndex(pages: DataFrame): DataFrame =
-    pages.select(
-      graft.url.UrlCanon.urlHashCol(col("url")).as("url_hash"),
-      graft.url.UrlCanon.canonicalCol(col("url")).as("url"),
-      col("text"))
+    pages.select(graft.url.UrlParts(col("url")).as("__u"), col("text"))
+      .select(col("__u.url_hash").as("url_hash"), col("__u.url").as("url"),
+        col("text"))
 
   /** G4 per-partition metrics rollup from the wave's decisions. */
   def metrics(runId: String, waveNo: Int, decisions: Dataset[FetchDecision],

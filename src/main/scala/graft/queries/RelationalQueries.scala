@@ -37,6 +37,17 @@ object RelationalQueries {
           count_distinct(col("l_partkey")).as("n_parts"))
     }),
 
+    // G2b: HLL++ approximate distinct — the 10^10-scale metrics path
+    // (exact count_distinct shuffles every key; the sketch doesn't).
+    // Rows-only: HLL estimates differ across engines by construction;
+    // RelationalSpec pins the <5% error bound against the exact count.
+    "q_approx_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+    }),
+
     // W1: per-key recency ranking (the frontier priority window)
     "q_recency_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))

@@ -85,7 +85,10 @@ object UrlCanon {
     catch { case _: java.net.URISyntaxException => null }
 
   /** Scala twin of Spark's xxhash64 (same seed, same UTF8 bytes). */
-  def urlHash(url: String): Long =
-    XxHash64Function.hash(UTF8String.fromString(canonicalize(url)), StringType, 42L)
+  def urlHash(url: String): Long = hashOf(canonicalize(url))
+
+  /** xxhash64 of an ALREADY-canonical string. */
+  def hashOf(canonical: String): Long =
+    XxHash64Function.hash(UTF8String.fromString(canonical), StringType, 42L)
       .asInstanceOf[Long]
 }

@@ -54,6 +54,28 @@ class UrlCanonSpec extends SparkSpec {
     }
   }
 
+  test("fused UrlParts expression == composed built-ins + scala twin") {
+    val urls = Gen.listOfN(300, urlGen)
+      .apply(Gen.Parameters.default, Seed(7L)).get
+    val rows = urls.toDF("url")
+      .select(UrlParts($"url").as("u"), $"url").collect()
+    rows.foreach { r =>
+      val raw = r.getString(1)
+      val u = r.getStruct(0)
+      assert(u.getString(0) === UrlCanon.canonicalize(raw), raw)
+      assert(u.getLong(1) === UrlCanon.urlHash(raw), raw)
+      assert(u.getString(2) === UrlCanon.host(raw), raw)
+      // biz matches parse_url(url,'QUERY','__biz') with "" for absent
+      val viaBuiltin = Seq(raw).toDF("url")
+        .select(org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.parse_url($"url",
+            org.apache.spark.sql.functions.lit("QUERY"),
+            org.apache.spark.sql.functions.lit("__biz")),
+          org.apache.spark.sql.functions.lit(""))).head().getString(0)
+      assert(u.getString(3) === viaBuiltin, raw)
+    }
+  }
+
   test("hash is stable (pinned values guard against accidental reseeding)") {
     // xxhash64(seed=42) of the canonical form; pinned once, must never change
     // across refactors — the seen-set and all snapshots depend on it.

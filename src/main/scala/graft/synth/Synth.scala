@@ -203,20 +203,27 @@ $title</h2>
     (hot ++ tail).toDS()
   }
 
-  /** Wave-0 frontier: list page 0 per seed account + all long-tail URLs. */
-  def seedFrontier(spark: SparkSession, cfg: SynthConfig): Dataset[FrontierEntry] = {
-    import spark.implicits._
+  /** Seed entry i ∈ [0, nAccounts + longTail) — pure, deterministic. */
+  def seedAt(cfg: SynthConfig, i: Int): FrontierEntry = {
     val ts = new Timestamp(BaseUnix * 1000L)
-    val listSeeds = (0 until cfg.nAccounts).map { a =>
-      val u = UrlCanon.canonicalize(listUrl(a, 0))
-      FrontierEntry(u, UrlCanon.urlHash(u), HotHost, biz(a), "list", 0, a.toLong, ts)
-    }
-    val tailSeeds = (0 until cfg.longTail).map { t =>
+    if (i < cfg.nAccounts) {
+      val u = UrlCanon.canonicalize(listUrl(i, 0))
+      FrontierEntry(u, UrlCanon.urlHash(u), HotHost, biz(i), "list", 0, i.toLong, ts)
+    } else {
+      val t = i - cfg.nAccounts
       val u = UrlCanon.canonicalize(longTailUrl(cfg, t))
       FrontierEntry(u, UrlCanon.urlHash(u), longTailHost(t), "", "detail", 0,
         1000000L + t, ts)
     }
-    spark.createDataset(listSeeds ++ tailSeeds)
+  }
+
+  /** Wave-0 frontier: list page 0 per seed account + all long-tail URLs.
+    * Built DISTRIBUTED (pure function of the row index) — canonicalizing
+    * 10^5+ seed URLs on the driver would be a serial stall. */
+  def seedFrontier(spark: SparkSession, cfg: SynthConfig): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    spark.range((cfg.nAccounts + cfg.longTail).toLong)
+      .map(i => seedAt(cfg, i.toInt))
   }
 
   // ------------------------------------------------------------- helpers

@@ -183,6 +183,25 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_urls"))
     }),
 
+    // P3/J4: robots longest-prefix gating semantics, oracle-checked —
+    // inline rules table, per-url verdict = most specific matching prefix
+    "q_robots_prefix" -> ((s, d) => {
+      import s.implicits._
+      val rules = Seq(
+        ("/", true), ("/p1", false), ("/p12", true), ("/p3", false))
+        .toDF("path_prefix", "allowed")
+      val urls = t(s, d, "orders")
+        .select(col("o_orderkey"),
+          concat(lit("/p"), pmod(col("o_orderkey"), lit(20))).as("path"))
+      val matched = urls.join(broadcast(rules),
+          startswith(col("path"), col("path_prefix")))
+      val w = Window.partitionBy(col("o_orderkey"))
+        .orderBy(length(col("path_prefix")).desc)
+      matched.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderkey"), col("path"), col("allowed"))
+    }),
+
     // S5: JSON payload extraction (the read/like-count shape)
     "q_json_extract" -> ((s, d) => {
       t(s, d, "events")
@@ -279,6 +298,16 @@ object RelationalQueries {
     "q_host_counts" ->
       """SELECT 'host' || (o_custkey % 20) || '.example' AS host, count(*) AS n_urls
          FROM orders GROUP BY 1""",
+    "q_robots_prefix" ->
+      """WITH rules(path_prefix, allowed) AS (
+           VALUES ('/', true), ('/p1', false), ('/p12', true), ('/p3', false)),
+         urls AS (SELECT o_orderkey, '/p' || (o_orderkey % 20) AS path FROM orders)
+         SELECT o_orderkey, path, allowed FROM (
+           SELECT u.o_orderkey, u.path, r.allowed,
+             row_number() OVER (PARTITION BY u.o_orderkey
+               ORDER BY length(r.path_prefix) DESC) AS rn
+           FROM urls u JOIN rules r ON starts_with(u.path, r.path_prefix))
+         WHERE rn = 1""",
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
          FROM events""",

@@ -91,13 +91,8 @@ object Bench {
     } finally spark.stop()
   }
 
-  private def deleteDir(p: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val path = java.nio.file.Paths.get(p)
-    if (java.nio.file.Files.exists(path))
-      java.nio.file.Files.walk(path).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-  }
+  private def deleteDir(p: String): Unit =
+    SnapshotCatalog.deleteRecursively(java.nio.file.Paths.get(p))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -33,11 +33,18 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
 
   def latest: Option[Int] = {
     if (!Files.isDirectory(snapsDir)) return None
-    val ids = Files.list(snapsDir).iterator().asScala
-      .filter(p => Files.exists(p.resolve("manifest.json")))
+    val ids = listDir(snapsDir)
+      .filter(p => p.getFileName.toString.forall(_.isDigit) &&
+        Files.exists(p.resolve("manifest.json")))
       .map(_.getFileName.toString.toInt)
-      .toSeq
     if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Eagerly-drained directory listing (Files.list streams hold an open
+    * fd until closed — a multi-thousand-wave crawl would leak them). */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
   }
 
   /** Atomically commit snapshot `id`: tables → parquet, sketch → bin,
@@ -64,10 +71,10 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
         Future {
           val dir = tmp.resolve(name)
           df.write.mode("overwrite").parquet(dir.toString)
-          val files = Files.list(dir).iterator().asScala
+          val files = listDir(dir)
             .map(_.getFileName.toString)
             .filter(f => f.endsWith(".parquet"))
-            .toSeq.sorted
+            .sorted
           val rows = spark.read.parquet(dir.toString).count()
           (name, rows,
             s""""$name":{"rows":$rows,"files":[${files.map(f => s""""$f"""").mkString(",")}]}""")
@@ -116,7 +123,15 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
   }
 
   private def deleteRecursively(p: Path): Unit =
+    SnapshotCatalog.deleteRecursively(p)
+}
+
+object SnapshotCatalog {
+  /** Shared recursive delete (stream closed eagerly). */
+  def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally s.close()
     }
 }

@@ -52,9 +52,16 @@ object Extract {
 
   /** ANSI-safe numeric cast: real-world pages are dirty; a malformed row
     * must extract as NULL, never throw and kill a 1000-executor wave
-    * (Spark 4 ANSI mode makes bare cast('' as long) raise). */
-  private def tryNum(c: Column, dt: DataType): Column =
-    when(c.rlike("^-?\\d+$"), c.cast(dt))
+    * (Spark 4 ANSI mode makes bare cast('' as long) raise). Digit-count
+    * bounds also reject range-overflow strings (20-digit "ct" etc.),
+    * which pass a bare \d+ guard but still throw in the cast. */
+  private def tryNum(c: Column, dt: DataType): Column = {
+    val maxDigits = dt match {
+      case IntegerType => 9
+      case _ => 18
+    }
+    when(c.rlike(s"^-?\\d{1,$maxDigits}$$"), c.cast(dt))
+  }
 
   def titleCol(text: Column): Column = trim(regexp_extract(text, TitleRe, 1))
 
@@ -138,7 +145,7 @@ object Extract {
     val parsed = listPages.select(
       col("url"),
       srcWave.as("src_wave"),
-      get_json_object(col("text"), "$.can_msg_continue").cast(IntegerType)
+      tryNum(get_json_object(col("text"), "$.can_msg_continue"), IntegerType)
         .as("can_continue"),
       get_json_object(col("text"), "$.next_offset").as("next_offset"),
       from_json(get_json_object(col("text"), "$.general_msg_list"), MsgListSchema)
@@ -156,8 +163,14 @@ object Extract {
       .select(lit("detail").as("kind"), col("raw_url"), col("publish_unix"),
         col("src_wave"))
 
+    // pagination guards: only rewrite when the current url actually has
+    // an offset param (otherwise the "next" url silently equals the
+    // current one) and next_offset is purely digits (a hostile value
+    // containing $ or \ is a group reference to Java replaceAll → throw)
     val nextLists = parsed
-      .filter(col("can_continue") === 1)
+      .filter(col("can_continue") === 1 &&
+        col("next_offset").rlike("^\\d{1,9}$") &&
+        col("url").rlike("offset=\\d+"))
       .select(lit("list").as("kind"),
         regexp_replace(col("url"), lit("offset=\\d+"),
           concat(lit("offset="), col("next_offset"))).as("raw_url"),

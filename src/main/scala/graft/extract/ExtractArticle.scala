@@ -37,19 +37,21 @@ case class ExtractArticle(child: Expression)
       val m = p.matcher(s)
       if (m.find()) m.group(1) else ""
     }
-    val title = group1(TitleP).trim
+    // Spark's trim strips ONLY 0x20 spaces; String.trim strips all
+    // chars <= 0x20 — must match the composed-built-in path exactly
+    val title = trimSpaces(group1(TitleP))
     val body = group1(BodyP)
     val pubM = PublishP.matcher(s)
-    val publish = if (pubM.find()) java.lang.Long.valueOf(pubM.group(1)) else null
+    val publish = if (pubM.find()) tryLong(pubM.group(1)) else null
     val appM = AppMsgP.matcher(s)
     var read: Integer = null
     var like: Integer = null
     if (appM.find()) {
       val snippet = appM.group(1)
       val r = ReadP.matcher(snippet)
-      if (r.find()) read = Integer.valueOf(r.group(1))
+      if (r.find()) read = tryInt(r.group(1))
       val l = LikeP.matcher(snippet)
-      if (l.find()) like = Integer.valueOf(l.group(1))
+      if (l.find()) like = tryInt(l.group(1))
     }
     val cM = CommentsP.matcher(s)
     val commentsJson = if (cM.find()) UTF8String.fromString(cM.group(1)) else null
@@ -75,6 +77,25 @@ object ExtractArticle {
   // get_json_object($.appmsgstat.read_num/like_num) on this grammar
   private val ReadP = Pattern.compile("\"read_num\"\\s*:\\s*(-?\\d+)")
   private val LikeP = Pattern.compile("\"like_num\"\\s*:\\s*(-?\\d+)")
+
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  // never-throw numeric parses with the SAME digit bounds as the
+  // composed path's tryNum guard (18/9 digits), so the twins agree
+  private def digits(s: String): Int =
+    if (s.startsWith("-")) s.length - 1 else s.length
+  private def tryLong(s: String): java.lang.Long =
+    if (digits(s) > 18) null
+    else try java.lang.Long.valueOf(s) catch { case _: NumberFormatException => null }
+  private def tryInt(s: String): Integer =
+    if (digits(s) > 9) null
+    else try Integer.valueOf(s) catch { case _: NumberFormatException => null }
 
   val schema: StructType = StructType(Seq(
     StructField("title", StringType),

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   *
   * Implements the core of the public robots exclusion protocol
   * (user-agent groups, Allow/Disallow path prefixes, `*` agent,
-  * case-insensitive directives, `#` comments). The crawl pipeline
+  * case-insensitive directives, `#` comments; directives outside any
+  * user-agent group are ignored). The crawl pipeline
   * consumes the resulting (host, path_prefix, allowed) rules via the
   * broadcast longest-prefix gate in [[Wave.robotsGate]] — parsing is a
   * distributed flatMap over fetched robots.txt bodies.
@@ -32,7 +33,9 @@ object RobotsParser {
             case "user-agent" =>
               if (!groupHasAgents) { inMatchingGroup = false; groupHasAgents = true }
               val a = value.toLowerCase
-              if (a == "*" || a == wanted || wanted.contains(a)) inMatchingGroup = true
+              // empty UA value must match nothing ("".contains is always true)
+              if (a == "*" || (a.nonEmpty && (a == wanted || wanted.contains(a))))
+                inMatchingGroup = true
             case "allow" | "disallow" =>
               groupHasAgents = false
               if (inMatchingGroup && value.nonEmpty)

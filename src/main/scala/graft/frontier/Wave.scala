@@ -62,8 +62,11 @@ object Wave {
     val rulesByHost = robots
       .groupBy(col("host"))
       .agg(collect_list(struct(col("path_prefix"), col("allowed"))).as("__rules"))
+    // parse_url returns "" (not NULL) for path-less URLs — both must
+    // normalize to "/" or no Disallow prefix ever matches such a URL
+    val rawPath = try_parse_url(col("url"), lit("PATH"))
     val withPath = frontier.withColumn("__path",
-      coalesce(parse_url(col("url"), lit("PATH")), lit("/")))
+      when(rawPath.isNull || rawPath === "", lit("/")).otherwise(rawPath))
     val joined = withPath.join(broadcast(rulesByHost), Seq("host"), "left")
     // longest matching prefix wins; no rules / no match → allow
     val verdict = aggregate(

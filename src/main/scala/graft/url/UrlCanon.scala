@@ -32,30 +32,38 @@ object UrlCanon {
     "uin", "key", "pass_ticket", "chksm", "scene",
     "devicetype", "version", "nettype", "ascene", "wx_header")
 
-  private val volatileRe = s"^(${VolatileParams.mkString("|")})="
+  // (=|$): a valueless volatile param ("?uin") must strip like "?uin=x"
+  // — the Scala twin keys on the name alone, so must the column form
+  private val volatileRe = s"^(${VolatileParams.mkString("|")})(=|$$)"
 
   // ---------------------------------------------------------------- column
 
   /** Catalyst-native canonicalizer over a URL column. */
   def canonicalCol(u: Column): Column = {
-    val proto = lower(parse_url(u, lit("PROTOCOL")))
-    val host = lower(parse_url(u, lit("HOST")))
-    val rawPath = parse_url(u, lit("PATH"))
+    // try_parse_url: Spark 4's parse_url THROWS on an invalid URL — one
+    // malformed discovered link must not kill a 1000-executor wave
+    val proto = lower(try_parse_url(u, lit("PROTOCOL")))
+    val host = lower(try_parse_url(u, lit("HOST")))
+    val rawPath = try_parse_url(u, lit("PATH"))
     val path = when(rawPath.isNull || rawPath === "", lit("/")).otherwise(rawPath)
-    val query = parse_url(u, lit("QUERY"))
+    val query = try_parse_url(u, lit("QUERY"))
     val kept = array_sort(filter(split(query, "&"),
       p => !(p.rlike(volatileRe) || p === "")))
     val qs = array_join(kept, "&")
     val base = concat(proto, lit("://"), host, path)
-    when(query.isNull || qs.isNull || qs === "", base)
-      .otherwise(concat(base, lit("?"), qs))
+    // unparseable URL (null proto/host) → raw url, matching the Scala
+    // twin's URISyntaxException fallback
+    coalesce(
+      when(query.isNull || qs.isNull || qs === "", base)
+        .otherwise(concat(base, lit("?"), qs)),
+      u)
   }
 
   /** 64-bit identity hash of the canonical URL (xxhash64, seed 42). */
   def urlHashCol(u: Column): Column = xxhash64(canonicalCol(u))
 
   /** Host of the raw URL (politeness / robots key). */
-  def hostCol(u: Column): Column = lower(parse_url(u, lit("HOST")))
+  def hostCol(u: Column): Column = lower(try_parse_url(u, lit("HOST")))
 
   // ---------------------------------------------------------------- scala
 

@@ -98,6 +98,24 @@ class ExtractSpec extends SparkSpec {
       ("https://h.example/x", "<div id=\"js_content\">partial</div>" +
         "<script>var ct = \"notanumber\";</script>"))
       .toDF("url", "text")
+    // numeric range overflow must null out, never throw — both paths
+    val overflow = Seq(("https://h.example/y",
+      "<div id=\"js_content\">b</div><script>var ct = \"99999999999999999999\";</script>" +
+        "<script type=\"application/json\" id=\"appmsgext\">" +
+        "{\"appmsgstat\":{\"read_num\":99999999999,\"like_num\":3}}</script>"))
+      .toDF("url", "text")
+    val o = Extract.articles(overflow).collect().head
+    assert(o.isNullAt(o.fieldIndex("publish_ts")))
+    assert(o.isNullAt(o.fieldIndex("read_count")))
+    assert(o.getInt(o.fieldIndex("like_count")) === 3)
+    // dirty list page: boolean can_msg_continue + hostile next_offset
+    val dirtyList = Seq(
+      ("https://mp.weixin.example/mp/profile_ext?action=getmsg&__biz=B&offset=0",
+        """{"can_msg_continue":true,"next_offset":10,"general_msg_list":"{\"list\":[]}"}"""),
+      ("https://mp.weixin.example/mp/profile_ext?action=getmsg&__biz=B&offset=0",
+        """{"can_msg_continue":1,"next_offset":"$1\\","general_msg_list":"{\"list\":[]}"}"""))
+      .toDF("url", "text")
+    assert(Extract.discovered(dirtyList).count() === 0) // no throw, no junk rows
     // bodiless rows are dropped; the partial row survives with null counts
     val arts = Extract.articles(junk).collect()
     assert(arts.length === 1)

@@ -47,6 +47,22 @@ class RobotsParserSpec extends SparkSpec {
       Set("https://h.example/private/x"))
   }
 
+  test("path-less urls are gated as path / (parse_url returns empty string)") {
+    val rules = Seq(("closed.example", "/", false)).toDF("host", "path_prefix", "allowed")
+    val frontier = Seq(
+      ("https://closed.example", "closed.example"),       // no path at all
+      ("https://closed.example/x", "closed.example"))
+      .toDF("url", "host")
+    val (allowed, denied) = Wave.robotsGate(frontier, rules)
+    assert(allowed.count() === 0)
+    assert(denied.count() === 2, "a Disallow:/ must also catch the path-less url")
+  }
+
+  test("empty User-agent value matches no crawler") {
+    val r = RobotsParser.parse("h", "User-agent:\nDisallow: /\n")
+    assert(!r.exists(x => x.path_prefix == "/" && !x.allowed))
+  }
+
   test("empty / junk robots.txt default-allows") {
     assert(RobotsParser.parse("h", "") === Seq(graft.model.RobotsRule("h", "/", true)))
     val junk = RobotsParser.parse("h", "%%% not robots\nDisallow /oops-no-colon")

@@ -35,6 +35,24 @@ class UrlCanonSpec extends SparkSpec {
     assert(UrlCanon.urlHash(a) === UrlCanon.urlHash(b))
   }
 
+  test("valueless volatile params strip; unparseable urls pass through (twins agree)") {
+    val cases = Seq(
+      "https://h.example/p?uin",            // valueless volatile
+      "https://h.example/p?uin&a=1",        // mixed
+      "https://my_host.example/x?a=1",      // java.net.URI host == null
+      "http://[bad uri")                    // URISyntaxException
+    val df = cases.toDF("url").select($"url",
+      UrlCanon.canonicalCol($"url").as("canon"),
+      UrlParts($"url").getField("url").as("fused"))
+    df.collect().foreach { r =>
+      val raw = r.getString(0)
+      assert(r.getString(1) === UrlCanon.canonicalize(raw), s"col twin: $raw")
+      assert(r.getString(2) === UrlCanon.canonicalize(raw), s"fused twin: $raw")
+    }
+    assert(UrlCanon.canonicalize("https://h.example/p?uin") === "https://h.example/p")
+    assert(UrlCanon.canonicalize("http://[bad uri") === "http://[bad uri")
+  }
+
   test("empty path normalizes to /") {
     assert(UrlCanon.canonicalize("https://h.example?a=1") === "https://h.example/?a=1")
     assert(UrlCanon.canonicalize("https://h.example") === "https://h.example/")

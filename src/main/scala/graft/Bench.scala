@@ -155,8 +155,15 @@ object Bench {
     // as steal), so alternate lo/hi trials and take each level's MINIMUM
     // — the standard approximation of uncontended time on shared hosts
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
-    val runs = (1 to trials).map { _ =>
-      (crawlRun(loC, corpusDir, synthCfg), crawlRun(hiC, corpusDir, synthCfg))
+    // time-budget cutoff: on a noisy host one trial pair can take 3× the
+    // calm-host time — never let extra trials run the whole bench past
+    // its budget (a missing BENCH artifact is worse than a 1-trial one)
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "300").toInt
+    val tStart = System.nanoTime()
+    val runs = (1 to trials).flatMap { i =>
+      val elapsed = (System.nanoTime() - tStart) / 1e9
+      if (i > 1 && elapsed > budgetSec) None
+      else Some((crawlRun(loC, corpusDir, synthCfg), crawlRun(hiC, corpusDir, synthCfg)))
     }
     val lo = runs.map(_._1).minBy(_.wallSec)
     val hi = runs.map(_._2).minBy(_.wallSec)

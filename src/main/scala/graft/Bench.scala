@@ -48,8 +48,8 @@ object Bench {
     * steal_frac = Δsteal / (Δbusy + Δsteal) over a run's window gives a
     * documented correction. */
   private def cpuTicks(): (Long, Long) = {
-    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
-      .trim.split("\\s+")
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val l = try src.getLines().next().trim.split("\\s+") finally src.close()
     val busy = l(1).toLong + l(2).toLong + l(3).toLong + l(6).toLong + l(7).toLong
     (busy, l(8).toLong)
   }

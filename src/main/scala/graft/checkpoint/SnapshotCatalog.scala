@@ -70,14 +70,20 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
       Future.traverse(tables.toSeq.sortBy(_._1)) { case (name, df) =>
         Future {
           val dir = tmp.resolve(name)
-          df.write.mode("overwrite").parquet(dir.toString)
+          // observe() piggybacks the row count onto the write job itself —
+          // never re-read what was just written (the count is exact: every
+          // row flows through the observed node exactly once per write)
+          val obs = org.apache.spark.sql.Observation(s"commit-$id-$name")
+          df.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+            .write.mode("overwrite").parquet(dir.toString)
           val files = listDir(dir)
             .map(_.getFileName.toString)
             .filter(f => f.endsWith(".parquet"))
             .sorted
-          val rows = spark.read.parquet(dir.toString).count()
+          val rows = obs.get("rows").asInstanceOf[Long]
           (name, rows,
-            s""""$name":{"rows":$rows,"files":[${files.map(f => s""""$f"""").mkString(",")}]}""")
+            s""""${esc(name)}":{"rows":$rows,"files":[${files.map(f => s""""${esc(f)}"""").mkString(",")}]}""")
         }
       }, Duration.Inf)
     val tableEntries = written.map(_._3)
@@ -85,7 +91,7 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
 
     val parent = latest.map(_.toString).getOrElse("null")
     val metaJson = meta.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     val manifest =
       s"""{"snapshot_id":$id,"parent_id":$parent,"wave":$wave,""" +
         s""""tables":{${tableEntries.mkString(",")}}""" +
@@ -121,6 +127,17 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
     val p = snapshotPath(id).resolve("sketch.bin")
     if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
   }
+
+  /** Minimal JSON string escaping — table names / meta values are
+    * caller-supplied (a run_id containing `"` or `\` must not produce a
+    * malformed manifest). */
+  private def esc(s: String): String =
+    s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
 
   private def deleteRecursively(p: Path): Unit =
     SnapshotCatalog.deleteRecursively(p)

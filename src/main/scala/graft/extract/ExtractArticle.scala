@@ -5,7 +5,7 @@ import java.util.regex.Pattern
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,16 +23,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Comments come back as the raw embedded JSON payload; the caller
   * parses with from_json (small strings, codegen'd).
+  *
+  * Codegen: emits a static call into [[ExtractArticle.evalRow]] so the
+  * surrounding stage stays one whole-stage-codegen span (no interpreted
+  * fallback on the per-page hot path).
   */
 case class ExtractArticle(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ExtractArticle.schema
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    import ExtractArticle._
+  override protected def nullSafeEval(input: Any): Any =
+    ExtractArticle.evalRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.extract.ExtractArticle$$.MODULE$$.evalRow($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractArticle =
+    copy(child = newChild)
+}
+
+object ExtractArticle {
+
+  /** Shared eval body — called from interpreted eval AND generated code. */
+  def evalRow(input: UTF8String): InternalRow = {
+    val s = input.toString
     def group1(p: Pattern): String = {
       val m = p.matcher(s)
       if (m.find()) m.group(1) else ""
@@ -61,11 +77,6 @@ case class ExtractArticle(child: Expression)
       publish, read, like, commentsJson)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): ExtractArticle =
-    copy(child = newChild)
-}
-
-object ExtractArticle {
   // the same grammar as Extract.TitleRe/BodyRe/… (FIXTURES.md §1),
   // precompiled once per JVM
   private val TitleP = Pattern.compile(Extract.TitleRe, Pattern.DOTALL)

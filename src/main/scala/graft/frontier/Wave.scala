@@ -68,12 +68,19 @@ object Wave {
     val withPath = frontier.withColumn("__path",
       when(rawPath.isNull || rawPath === "", lit("/")).otherwise(rawPath))
     val joined = withPath.join(broadcast(rulesByHost), Seq("host"), "left")
-    // longest matching prefix wins; no rules / no match → allow
+    // longest matching prefix wins; equal-length tie → allow wins (RFC
+    // 9309 least-restrictive tie-break). The fold is order-independent:
+    // the result is (max matching len, "any allow rule at that len"), so
+    // collect_list's post-shuffle nondeterminism cannot flip a verdict.
+    // No rules / no match → allow.
     val verdict = aggregate(
       filter(col("__rules"),
         r => startswith(col("__path"), r.getField("path_prefix"))),
       struct(lit(-1).as("len"), lit(true).as("allowed")),
-      (acc, r) => when(length(r.getField("path_prefix")) > acc.getField("len"),
+      (acc, r) => when(
+        length(r.getField("path_prefix")) > acc.getField("len") ||
+          (length(r.getField("path_prefix")) === acc.getField("len") &&
+            r.getField("allowed")),
         struct(length(r.getField("path_prefix")).as("len"),
           r.getField("allowed").as("allowed"))).otherwise(acc))
     val tagged = joined.withColumn("__allowed",

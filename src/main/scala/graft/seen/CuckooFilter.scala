@@ -71,8 +71,17 @@ final class CuckooFilter private (
     bucketHas(altBucket(i1, fp, mask), fp)
   }
 
-  /** Removes one copy of the key's fingerprint; true if found. */
+  /** Removes one copy of the key's fingerprint; true if found.
+    *
+    * ONLY safe for keys known to have been inserted (the cuckoo-filter
+    * contract, Fan et al. §3.3): deleting a never-inserted key can evict
+    * another key's colliding fingerprint and create a false negative.
+    * The crawl honors this — retraction only ever targets url_hashes read
+    * back from the committed `fetched` deltas. When saturated the filter
+    * no longer tracks fingerprints, so delete degrades to a no-op (the
+    * filter stays "always maybe"; counts never drift negative). */
   def delete(key: Long): Boolean = {
+    if (saturated) return false
     val fp = fingerprint(key)
     val i1 = bucket1(key, mask)
     if (removeFrom(i1, fp) || removeFrom(altBucket(i1, fp, mask), fp)) {

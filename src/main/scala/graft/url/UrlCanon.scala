@@ -83,10 +83,18 @@ object UrlCanon {
       case Some(q) =>
         val kept = q.split("&", -1).toSeq
           .filter(p => p.nonEmpty && !VolatileParams.contains(p.takeWhile(_ != '=')))
-          .sorted
+          .sorted(Utf8Ordering)
         if (kept.isEmpty) base else base + "?" + kept.mkString("&")
     }
   }
+
+  /** UTF-8 byte order, matching Catalyst's UTF8String/array_sort binary
+    * comparison — String.sorted (UTF-16 code-unit order) diverges for
+    * params mixing U+E000..U+FFFF with supplementary-plane characters. */
+  private val Utf8Ordering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   def host(url: String): String =
     try Option(new java.net.URI(url).getHost).map(_.toLowerCase).orNull

@@ -3,7 +3,7 @@ package graft.url
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,24 +18,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * four identity fields. Output is equal to the built-in path by the
   * UrlCanonSpec equivalence property (both are property-tested against
   * [[UrlCanon.canonicalize]]).
+  *
+  * Codegen: emits a static call into [[UrlParts.evalRow]] — the
+  * expression participates in whole-stage codegen (no interpreted-eval
+  * stage break on the hottest path: every page + every frontier row).
   */
 case class UrlParts(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = UrlParts.schema
   override def nullable: Boolean = true
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString
-    val canon = UrlCanon.canonicalize(raw)
-    val host = UrlCanon.host(raw)
-    val biz = UrlParts.queryParam(raw, "__biz")
-    InternalRow(
-      UTF8String.fromString(canon),
-      java.lang.Long.valueOf(UrlCanon.hashOf(canon)),
-      if (host == null) null else UTF8String.fromString(host),
-      UTF8String.fromString(if (biz == null) "" else biz))
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    UrlParts.evalRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.url.UrlParts$$.MODULE$$.evalRow($c)")
 
   override protected def withNewChildInternal(newChild: Expression): UrlParts =
     copy(child = newChild)
@@ -50,6 +48,20 @@ object UrlParts {
 
   def apply(c: Column): Column =
     ColumnBridge.column(UrlParts(ColumnBridge.expression(c)))
+
+  /** Shared eval body — called from interpreted eval AND generated code
+    * (static call keeps whole-stage codegen intact). */
+  def evalRow(input: UTF8String): InternalRow = {
+    val raw = input.toString
+    val canon = UrlCanon.canonicalize(raw)
+    val host = UrlCanon.host(raw)
+    val biz = queryParam(raw, "__biz")
+    InternalRow(
+      UTF8String.fromString(canon),
+      java.lang.Long.valueOf(UrlCanon.hashOf(canon)),
+      if (host == null) null else UTF8String.fromString(host),
+      UTF8String.fromString(if (biz == null) "" else biz))
+  }
 
   /** Raw query-param lookup, parse_url(url,'QUERY',key)-equivalent for
     * our grammar (returns null when absent). */

@@ -48,15 +48,28 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("url") && readSchema.contains("text"))
   }
 
-  test("extraction pipeline keeps whole-stage codegen around the fused expr") {
+  test("fused expressions run INSIDE whole-stage codegen (no fallback break)") {
     val cfg = SynthConfig(nAccounts = 2, articlesPerAccount = 5, longTail = 0)
     val arts = graft.extract.Extract.articles(
       Synth.pages(spark, cfg).toDF().filter(!col("url").contains("profile_ext")))
-    val plan = formatted(arts)
-    // ExtractArticle is a deliberate CodegenFallback island (one per page);
-    // the surrounding projections/filters must still be codegen spans
-    // (formatted mode marks codegen'd operators with a "* " prefix)
-    assert(plan.contains("* Project") || plan.contains("* Filter"), plan.take(600))
+    val plan = planOf(arts)
+    // executedPlan.toString marks codegen'd operators with "*(n)"; the
+    // operator carrying the fused expression must have that prefix — a
+    // CodegenFallback would print an unstarred Project around it
+    // codegen'd operators render as "*(n) Project [...]" (tree-drawing
+    // prefixes like "+- " may precede the star)
+    def starred(line: String): Boolean = line.contains("*(")
+    val extractLine = plan.linesIterator
+      .find(l => l.toLowerCase.contains("extractarticle") && l.contains("Project"))
+      .getOrElse("")
+    assert(starred(extractLine), s"extractarticle not codegen'd:\n$plan")
+    val idx = Wave.pageIndex(Synth.pages(spark, cfg).toDF())
+    val urlLine = planOf(idx).linesIterator
+      .find(l => l.toLowerCase.contains("urlparts") && l.contains("Project"))
+      .getOrElse("")
+    assert(starred(urlLine), s"urlparts not codegen'd:\n${planOf(idx)}")
+    // and the generated code actually compiles: force an execution
+    assert(arts.count() === 10L)
   }
 
   test("wave fetch join broadcasts the frontier slice (not the page index)") {

@@ -51,6 +51,29 @@ class WaveSpec extends SparkSpec {
     assert(fetched.join(denied, Seq("url_hash"), "inner").count() === 0)
   }
 
+  test("robots tie-break: equal-length Allow + Disallow resolves to allow") {
+    // RFC 9309 least-restrictive tie-break — and the verdict must be
+    // independent of collect_list's post-shuffle rule order
+    val frontier = Seq(
+      ("https://t.example/a/x", 1L, "t.example", "", "detail", 0, 1L,
+        new java.sql.Timestamp(0L))).toDF(
+      "url", "url_hash", "host", "biz", "kind", "wave", "priority", "discovered_ts")
+    Seq(
+      Seq(("t.example", "/a", true), ("t.example", "/a", false)),
+      Seq(("t.example", "/a", false), ("t.example", "/a", true))
+    ).foreach { ruleRows =>
+      val rules = ruleRows.toDF("host", "path_prefix", "allowed")
+      val (allowed, denied) = Wave.robotsGate(frontier, rules)
+      assert(allowed.count() === 1L && denied.count() === 0L,
+        s"tie must resolve to allow for rules $ruleRows")
+    }
+    // longer disallow still beats shorter allow
+    val rules2 = Seq(("t.example", "/", true), ("t.example", "/a", false))
+      .toDF("host", "path_prefix", "allowed")
+    val (a2, d2) = Wave.robotsGate(frontier, rules2)
+    assert(a2.count() === 0L && d2.count() === 1L)
+  }
+
   test("politeness: per host per wave, fetched <= tokens_per_round") {
     val c = crawl(freshDir(), 3)
     val budgets = c.readTable(0, "budgets")

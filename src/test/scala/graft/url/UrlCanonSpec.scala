@@ -94,6 +94,20 @@ class UrlCanonSpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII param sort: twins agree across BMP/supplementary boundary") {
+    // U+E000 (3-byte UTF-8, high UTF-16 unit) vs U+1F600 (4-byte UTF-8,
+    // surrogate pair starting 0xD83D): UTF-16 code-unit order and UTF-8
+    // byte order DISAGREE here — the twin must follow Catalyst's bytes.
+    val u = "https://h.example/p?x=&x=😀&a=1"
+    val viaCol = Seq(u).toDF("url")
+      .select(UrlCanon.canonicalCol($"url"), UrlCanon.urlHashCol($"url"))
+      .head()
+    assert(viaCol.getString(0) === UrlCanon.canonicalize(u))
+    assert(viaCol.getLong(1) === UrlCanon.urlHash(u))
+    // UTF-8 order puts the 3-byte U+E000 param before the 4-byte emoji
+    assert(UrlCanon.canonicalize(u) === "https://h.example/p?a=1&x=&x=😀")
+  }
+
   test("hash is stable (pinned values guard against accidental reseeding)") {
     // xxhash64(seed=42) of the canonical form; pinned once, must never change
     // across refactors — the seen-set and all snapshots depend on it.

@@ -36,20 +36,30 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- dedup -----------------------------------------------------
+    // Group by xxhash64(text), NOT text: at 100 TB the grouping key is
+    // what shuffles, and hashing first means shuffle bytes ≈ 16/row
+    // instead of the whole corpus body. Results are identical barring a
+    // 64-bit collision (the keeper/copies/len aggregates never need the
+    // text itself).
     "q_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
-        .select(col("keeper"), col("copies"), length(col("text")).as("text_len"))
+        .select(col("doc_id"), xxhash64(col("text")).as("__h"),
+          length(col("text")).as("__len"))
+        .groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"),
+          min(col("__len")).as("text_len"))
+        .select(col("keeper"), col("copies"), col("text_len"))
     }),
 
     "q_dedup_norm" -> ((s, d) => {
       val norm = trim(regexp_replace(
         regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
       t(s, d, "documents")
-        .groupBy(norm.as("norm_text"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
-        .select(col("keeper"), col("copies"), length(col("norm_text")).as("norm_len"))
+        .select(col("doc_id"), xxhash64(norm).as("__h"), length(norm).as("__len"))
+        .groupBy(col("__h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"),
+          min(col("__len")).as("norm_len"))
+        .select(col("keeper"), col("copies"), col("norm_len"))
     }),
 
     // MinHash + LSH banding: shingle → 16 minhashes → 4 bands of 4 →
@@ -61,15 +71,23 @@ object TextQueries {
     // 64-bit SimHash per document from token hashes
     "q_simhash64" -> ((s, d) => simhash(t(s, d, "documents"))),
 
-    // token-set Jaccard for deterministic candidate pairs (doc, doc+1)
+    // token-set Jaccard for deterministic candidate pairs (doc, doc+1).
+    // Intersection by AGGREGATION, not a token-equality self-join: a hot
+    // token ("the") appearing in k docs fans out k² rows under the join
+    // but only 2k under the union+groupBy — skew-proof at corpus scale.
+    // A token is shared by pair p=(p,p+1) iff group (p,tok) has both a
+    // row from doc p (pid=p) and one from doc p+1 (pid=p), i.e. count=2.
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
       val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = toks.as("x").join(toks.as("y"),
-          col("y.tok") === col("x.tok") && col("y.doc_id") === col("x.doc_id") + 1)
-        .groupBy(col("x.doc_id").as("doc_id")).agg(count(lit(1)).as("n_common"))
+      val contrib = toks.select(col("doc_id").as("pid"), col("tok"))
+        .unionByName(toks.select((col("doc_id") - 1).as("pid"), col("tok")))
+      val inter = contrib.groupBy(col("pid"), col("tok"))
+        .agg(count(lit(1)).as("c")).filter(col("c") === 2)
+        .groupBy(col("pid")).agg(count(lit(1)).as("n_common"))
+        .withColumnRenamed("pid", "doc_id")
       sizes.as("s1")
         .join(sizes.as("s2"), col("s2.doc_id") === col("s1.doc_id") + 1)
         .join(inter, inter("doc_id") === col("s1.doc_id"), "left")
@@ -105,26 +123,27 @@ object TextQueries {
         .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
     }),
 
-    // random-hyperplane LSH bucket per vector (the ANN scale path:
-    // candidates = same-bucket join instead of N×N brute force)
+    // banded random-hyperplane LSH (the ANN scale path): b bands × r
+    // bits, candidates share ANY band's bucket — mirrors the minhash
+    // banding. At N=10^10 a single 8-bit band meant ~N/256 vectors per
+    // bucket (quadratic within-bucket join); 16-bit bands keep buckets
+    // ~N/65536 per band and the cap below bounds the worst case.
     "q_ann_lsh_bucket" -> ((s, d) => annBuckets(t(s, d, "embeddings"))),
 
-    // embedding-cosine near-dup pairs: candidates from the LSH bucket
-    // self-join (shuffle on bucket — N²/2^bits pairs, not N²), verified
-    // with exact cosine. Rows-only: hash buckets are Spark-specific.
+    // embedding-cosine near-dup pairs: candidates from the banded-bucket
+    // self-join, deduped across bands, oversized buckets capped, then
+    // verified with exact cosine. Rows-only: hash buckets are Spark-
+    // specific; recall pinned in SimilaritySpec on planted near-dups.
     "q_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val b = annBuckets(e)
-      val withVec = b.join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
-      val a1 = withVec.select(col("bucket"), col("vec_id").as("id_a"),
-        col("embedding").as("emb_a"))
-      val a2 = withVec.select(col("bucket"), col("vec_id").as("id_b"),
-        col("embedding").as("emb_b"))
-      a1.join(a2, Seq("bucket"))
-        .filter(col("id_a") < col("id_b"))
+      val pairs = annCandidatePairs(annBuckets(e))
+      pairs
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
+        .select(col("id_a"), col("id_b"), col("cos_sim"))
     }),
 
     // ---- text analysis ---------------------------------------------
@@ -217,21 +236,59 @@ object TextQueries {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** 8 deterministic pseudo-random hyperplanes; sign pattern = bucket.
-    * Hyperplane j, dim i weight = ±1 from xxhash64("hp<j>_<i>"). */
-  def annBuckets(embeddings: DataFrame): DataFrame = {
-    val bucketBits = (0 until 8).map { j =>
-      val dot = aggregate(
+  /** LSH banding parameters: 4 bands × 16 hyperplanes. Per band the
+    * bucket space is 2^16 — at N=10^10 that's ~150k vectors per bucket
+    * per band BEFORE the similarity structure concentrates near-dups;
+    * [[AnnBucketCap]] bounds the pathological buckets regardless. */
+  val AnnBands = 4
+  val AnnBitsPerBand = 16
+
+  /** Deterministic pseudo-random hyperplanes, banded: one row per
+    * (vec_id, band) with bucket = the band's 16-bit sign pattern.
+    * Hyperplane j, dim i weight = ±1 from xxhash64("hp<j>_<i>"). All 64
+    * dot products come from ONE pass over the embedding array (nested
+    * higher-order functions — no UDF, codegen-friendly). */
+  def annBuckets(embeddings: DataFrame,
+      nBands: Int = AnnBands, bitsPerBand: Int = AnnBitsPerBand): DataFrame = {
+    val nPlanes = nBands * bitsPerBand
+    val dots = transform(sequence(lit(0), lit(nPlanes - 1)), j =>
+      aggregate(
         zip_with(col("embedding"),
           sequence(lit(0), size(col("embedding")) - 1),
           (x, i) => x.cast("double") *
-            (pmod(xxhash64(concat(lit(s"hp${j}_"), i.cast("string"))), lit(2))
-              .cast("double") * 2.0 - 1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1 << j)).otherwise(lit(0))
+            (pmod(xxhash64(concat(lit("hp"), j.cast("string"), lit("_"),
+              i.cast("string"))), lit(2)).cast("double") * 2.0 - 1.0)),
+        lit(0.0), (acc, v) => acc + v))
+    val withDots = embeddings.select(col("vec_id"), dots.as("__dots"))
+    val bands = (0 until nBands).map { b =>
+      val bits = (0 until bitsPerBand).map { k =>
+        when(element_at(col("__dots"), b * bitsPerBand + k + 1) >= 0,
+          lit(1L << k)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bucket"))
     }
-    embeddings.select(col("vec_id"),
-      bucketBits.reduce(_ + _).as("bucket"))
+    withDots.select(col("vec_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Per-(band,bucket) candidate cap: a bucket holding more than this
+    * many vectors is dropped from pair generation (its members still
+    * appear via their other bands). Bounds the within-bucket join at
+    * cap² instead of (N/2^bits)² on degenerate data. */
+  val AnnBucketCap = 4096L
+
+  /** Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket,
+    * oversized buckets capped. */
+  def annCandidatePairs(buckets: DataFrame, cap: Long = AnnBucketCap): DataFrame = {
+    val sized = buckets.join(
+      buckets.groupBy(col("band"), col("bucket"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap),
+      Seq("band", "bucket"))
+    sized.as("x").join(sized.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      .distinct()
   }
 
   /** Karp-Rabin rolling hashes over 5-grams of token hashes, winnowed to

@@ -87,6 +87,20 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
   }
 
+  test("dedup queries shuffle the 8-byte hash, never the document text") {
+    Seq("q_dedup_exact", "q_dedup_norm").foreach { q =>
+      val plan = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(plan.contains("hashpartitioning(__h"),
+        s"$q must exchange on the text hash:\n${plan.take(800)}")
+      // map-side partial aggregation before the exchange: the shuffle
+      // payload is (hash, partial keeper/copies/len), not the corpus body
+      assert(plan.linesIterator.filter(_.contains("Exchange"))
+        .forall(!_.contains("text")), s"$q shuffles text:\n${plan.take(800)}")
+      assert(plan.contains("partial_min") || plan.contains("partial_count"),
+        s"$q must partial-aggregate map-side")
+    }
+  }
+
   test("two-stage seen filter: exact anti-join input is only the maybe-slice") {
     // structural property: notSeen's plan contains a broadcast/shuffle
     // anti-join that is fed by a Filter on the sketch probe — i.e. the

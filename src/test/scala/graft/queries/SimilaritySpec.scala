@@ -35,7 +35,7 @@ class SimilaritySpec extends SparkSpec {
     assert(topk.last.getLong(0) === 4L) // opposite ranks last
   }
 
-  test("ANN LSH buckets: identical vectors collide, opposite vectors differ") {
+  test("banded ANN buckets: identical vectors share all bands, opposite flip all bits") {
     val dir = java.nio.file.Files.createTempDirectory("ann").toString
     // powers of two: no ±1-weighted subset sums to exactly 0, so every
     // hyperplane sign genuinely flips for the negated vector
@@ -45,10 +45,37 @@ class SimilaritySpec extends SparkSpec {
       (2L, vec(-1, -2, -4, -8), 0))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val b = TextQueries.queries("q_ann_lsh_bucket")(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(b(0L) === b(1L))
-    assert(b(0L) === (~b(2L) & 0xff), "opposite vector flips every hyperplane sign")
+    val rows = TextQueries.queries("q_ann_lsh_bucket")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(rows.keys.map(_._2).toSet === (0 until TextQueries.AnnBands).toSet)
+    val mask = (1L << TextQueries.AnnBitsPerBand) - 1
+    (0 until TextQueries.AnnBands).foreach { band =>
+      assert(rows((0L, band)) === rows((1L, band)), s"identical must share band $band")
+      assert(rows((0L, band)) === (~rows((2L, band)) & mask),
+        s"opposite vector must flip every sign in band $band")
+    }
+  }
+
+  test("banded ANN near-dup: planted pair survives banding; bucket cap binds") {
+    val dir = java.nio.file.Files.createTempDirectory("anndup").toString
+    import scala.util.Random
+    val r = new Random(7)
+    val base = Array.fill(16)(r.nextGaussian().toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.001f // cos ≈ 1
+    val noise = (2L to 40L).map(i =>
+      (i, Array.fill(16)(new Random(i).nextGaussian().toFloat), 0))
+    ((0L, base, 0) +: (1L, near, 0) +: noise)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = TextQueries.queries("q_embed_neardup")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "near-identical pair must be recalled")
+    // cap: with cap=1 every bucket holding the planted dup overflows →
+    // no candidate pairs at all from those buckets
+    val capped = TextQueries.annCandidatePairs(
+      TextQueries.annBuckets(spark.read.parquet(s"$dir/embeddings.parquet")), cap = 1L)
+    assert(!capped.collect().map(x => (x.getLong(0), x.getLong(1)))
+      .contains((0L, 1L)), "cap=1 must drop the shared buckets")
   }
 
   test("lang-id heuristic on multilingual strings") {

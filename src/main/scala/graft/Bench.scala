@@ -73,7 +73,6 @@ object Bench {
       val budgets = (Seq((Synth.HotHost, 1000000)) ++
         (0 until Synth.NLongTailHosts).map(k => (s"host$k.example", 4096)))
         .toDF("host", "tokens_per_round")
-        .withColumn("tokens_left", col("tokens_per_round"))
 
       val (busy0, steal0) = cpuTicks()
       val t0 = System.nanoTime()

@@ -2,7 +2,7 @@ package graft
 
 import graft.checkpoint.SnapshotCatalog
 import graft.frontier.Wave
-import graft.seen.SeenState
+import graft.seen.{ShardedSeen, SketchShard}
 import graft.synth.{Synth, SynthConfig}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -10,31 +10,47 @@ import org.apache.spark.sql.functions._
 /** Multi-wave crawl loop over a snapshot catalog (SURVEY.md §8 step 8).
   *
   * Snapshot 0 holds the seed state (frontier, budgets, robots, empty
-  * sketches); snapshot k+1 holds wave k's outputs. Each wave reads ONLY
-  * from committed snapshots and the immutable pages table, so a killed
-  * run resumes from `catalog.latest` and — everything downstream being a
-  * pure function of that state — replays the exact crawl ordering
-  * (BASELINE.json north_rule replay gate).
+  * shard table); snapshot k+1 holds wave k's outputs. Each wave reads
+  * ONLY from committed snapshots and the immutable pages table, so a
+  * killed run resumes from `catalog.latest` and — everything downstream
+  * being a pure function of that state — replays the exact crawl
+  * ordering (BASELINE.json north_rule replay gate).
+  *
+  * Per-wave driver work is deliberately minimal: the wave builds pure
+  * plans; the snapshot commit materializes them as concurrent write jobs
+  * whose row counts come from observe() — there are NO standalone count
+  * jobs and no state collect/broadcast on the driver (Amdahl: driver
+  * serial time is what caps scaling efficiency at N→4N executors).
+  *
+  * Re-crawl (upstream step-6 semantics): [[enqueueRefresh]] retracts
+  * chosen URLs from the seen set (cuckoo delete + retraction delta) and
+  * re-enqueues them; the next wave re-fetches them and the merged
+  * article view ([[graft.frontier.ArticleStore.articles]]) serves
+  * last-write-wins read/like counts.
   */
 object CrawlDriver {
 
   final case class RunConfig(
       checkpointDir: String,
       nWaves: Int = 3,
-      /** run-level seen-sketch capacity (10^10 at cluster scale). */
+      /** run-level seen-sketch capacity (10^10 at cluster scale);
+        * per-shard allocation is seenCapacity/nShards. */
       seenCapacity: Long = 1000000L,
       nShards: Int = 16,
       waveCfg: Wave.WaveConfig = Wave.WaveConfig(),
       runId: String = "run-0")
 
-  /** Commit snapshot 0 from seed tables. */
+  /** Commit snapshot 0 from seed tables. The seed frontier is derived
+    * from the ACCOUNTS table (A2: one list-page entry per seeded
+    * account) plus any extra entries (e.g. long-tail detail URLs). */
   def init(
       spark: SparkSession,
       catalog: SnapshotCatalog,
       frontier0: DataFrame,
       robots: DataFrame,
       budgets: DataFrame,
-      cfg: RunConfig): Unit = {
+      cfg: RunConfig,
+      accounts: Option[DataFrame] = None): Unit = {
     import spark.implicits._
     val emptyFetched = Seq.empty[graft.model.CrawlOrder].toDS().toDF()
       .withColumn("host", lit("")).withColumn("partition_id", lit(0))
@@ -43,9 +59,28 @@ object CrawlDriver {
         "frontier" -> frontier0,
         "fetched" -> emptyFetched,
         "robots" -> robots,
-        "budgets" -> budgets),
-      sketch = Some(SeenState.empty(cfg.seenCapacity, cfg.nShards).serialize()),
+        "budgets" -> budgets,
+        "seen_sketch" -> ShardedSeen.emptyShards(spark).toDF()) ++
+        accounts.map("accounts" -> _),
       meta = Map("run_id" -> cfg.runId))
+  }
+
+  /** Exact seen keys at wave k: all fetched url_hashes minus ACTIVE
+    * retractions (retracted at a wave later than their last fetch — a
+    * re-fetch re-seens the key). Retraction sets are refresh-sized
+    * (small) by design, hence broadcast. */
+  private[graft] def seenKeys(catalog: SnapshotCatalog, k: Int): DataFrame = {
+    val fetched = catalog.readDeltasUpTo(k, "fetched")
+    catalog.readDeltasUpToOpt(k, "retracted") match {
+      case None => fetched.select("url_hash")
+      case Some(retr) =>
+        val rmax = retr.groupBy("url_hash").agg(max("wave").as("__rw"))
+        val fmax = fetched.groupBy("url_hash").agg(max("wave").as("__fw"))
+        val active = rmax.join(fmax, Seq("url_hash"), "left")
+          .filter(col("__fw").isNull || col("__rw") > col("__fw"))
+          .select("url_hash")
+        fetched.select("url_hash").join(broadcast(active), Seq("url_hash"), "left_anti")
+    }
   }
 
   /** Run wave k (reading snapshot k, committing snapshot k+1).
@@ -56,30 +91,24 @@ object CrawlDriver {
       pagesIdx: DataFrame,
       k: Int,
       cfg: RunConfig): (Long, Long, Long) = {
+    import spark.implicits._
     val t0 = System.nanoTime()
     val frontier = catalog.readTable(k, "frontier")
-    val seenExact = catalog.readDeltasUpTo(k, "fetched").select("url_hash")
-    val state = SeenState.deserialize(catalog.readSketch(k).get)
+    val seenExact = seenKeys(catalog, k)
+    val shards = catalog.readTable(k, "seen_sketch").as[SketchShard]
     val robots = catalog.readTable(0, "robots")
     val budgets = catalog.readTable(0, "budgets")
 
-    val r = Wave.run(spark, k, frontier, seenExact, state, robots, budgets,
-      pagesIdx, cfg.waveCfg)
+    val r = Wave.run(spark, k, frontier, seenExact, shards, cfg.nShards,
+      robots, budgets, pagesIdx, cfg.waveCfg)
 
-    // sketch build + extracted count are independent jobs → concurrent
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fNewState = Future(SeenState.build(r.fetched.select("url_hash"),
-      "url_hash", cfg.seenCapacity, cfg.nShards))
-    val fExtracted = Future(r.articles.count())
-    state.mergeInPlace(Await.result(fNewState, Duration.Inf))
-    val extracted = Await.result(fExtracted, Duration.Inf)
+    // shard update is itself a lazy plan — materialized by its commit
+    // write job like every other table (executor-side build + merge)
+    val noDeletes = spark.range(0).select(col("id").as("url_hash"))
+    val newShards = ShardedSeen.updatedShards(shards,
+      r.fetched.select("url_hash"), noDeletes, cfg.seenCapacity, cfg.nShards)
 
-    val wallMs = (System.nanoTime() - t0) / 1000000L
-    val metrics = Wave.metrics(cfg.runId, k, r.decisions, r.dedupedCount,
-      r.deniedCount, extracted, wallMs)
-
+    val planMs = (System.nanoTime() - t0) / 1000000L
     val counts = catalog.commit(k + 1, wave = k,
       tables = Map(
         "frontier" -> r.frontierNext,
@@ -87,14 +116,15 @@ object CrawlDriver {
         "articles_delta" -> r.articles,
         "comments_delta" -> r.comments,
         "denied" -> r.denied.select("url_hash", "url", "host"),
-        "metrics" -> metrics),
-      sketch = Some(state.serialize()),
-      meta = Map("run_id" -> cfg.runId))
+        "metrics" -> Wave.metrics(cfg.runId, r.ledger),
+        "seen_sketch" -> newShards.toDF()),
+      meta = Map("run_id" -> cfg.runId, "plan_ms" -> planMs.toString))
 
     val fetched = counts("fetched")
+    val extracted = counts("articles_delta")
     r.cached.foreach(_.unpersist())
     val totalMs = (System.nanoTime() - t0) / 1000000L
-    System.err.println(s"[wave $k] wall=${totalMs}ms (pre-commit=${wallMs}ms) " +
+    System.err.println(s"[wave $k] wall=${totalMs}ms (plan=${planMs}ms) " +
       s"fetched=$fetched extracted=$extracted")
     (fetched, extracted, counts("frontier"))
   }
@@ -115,6 +145,43 @@ object CrawlDriver {
       k += 1
     }
     out.toSeq
+  }
+
+  /** Re-crawl: retract `refresh` URLs (FrontierEntry-shaped rows) from
+    * the seen set and enqueue them for the next wave. Commits snapshot
+    * latest+1 holding: frontier ∪ refresh rows, the retraction delta,
+    * and the shard table with cuckoo deletes applied (the keys are known
+    * inserted — they come from committed fetched/articles — honoring the
+    * delete contract). The following [[run]] (nWaves ≥ latest+2)
+    * re-fetches them; [[graft.frontier.ArticleStore.articles]] then
+    * serves the refreshed read/like counts last-write-wins. */
+  def enqueueRefresh(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      refresh: DataFrame,
+      cfg: RunConfig): Int = {
+    import spark.implicits._
+    val latest = catalog.latest.getOrElse(
+      sys.error("catalog not initialized — call init() first"))
+    val nextWave = latest + 1
+    val entries = refresh
+      .withColumn("wave", lit(nextWave).cast("int"))
+      .select("url", "url_hash", "host", "biz", "kind", "wave", "priority",
+        "discovered_ts")
+    val retracted = entries.select(col("url_hash"), col("wave"))
+    val shards = catalog.readTable(latest, "seen_sketch").as[SketchShard]
+    val noInserts = spark.range(0).select(col("id").as("url_hash"))
+    val newShards = ShardedSeen.updatedShards(shards, noInserts,
+      retracted.select("url_hash"), cfg.seenCapacity, cfg.nShards)
+    val frontier = catalog.readTable(latest, "frontier")
+      .unionByName(entries)
+    catalog.commit(nextWave, wave = latest,
+      tables = Map(
+        "frontier" -> frontier,
+        "retracted" -> retracted,
+        "seen_sketch" -> newShards.toDF()),
+      meta = Map("run_id" -> cfg.runId, "refresh" -> "true"))
+    nextWave
   }
 
   /** Standalone main: synthesize a corpus, crawl it for N waves, print a
@@ -140,7 +207,10 @@ object CrawlDriver {
     spark.sparkContext.setLogLevel("WARN")
 
     val synthCfg = SynthConfig.forTargetRows(nPages)
+    // the corpus includes each host's /robots.txt page — the crawl
+    // ingests its own gating rules instead of trusting a side table
     val pages = Synth.pages(spark, synthCfg).toDF()
+      .unionByName(Synth.robotsPages(spark).toDF())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pagesIdx = Wave.pageIndex(pages)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -150,10 +220,13 @@ object CrawlDriver {
     val cfg = RunConfig(checkpointDir = dir, nWaves = nWaves,
       seenCapacity = math.max(nPages * 4L, 100000L))
     if (catalog.latest.isEmpty) {
+      // A2: seed frontier derives from the accounts table (+ long tail)
+      val accounts = Synth.accounts(spark, synthCfg).toDF()
       init(spark, catalog,
         Synth.seedFrontier(spark, synthCfg).toDF(),
-        Synth.robots(spark, synthCfg).toDF(),
-        Synth.budgets(spark, synthCfg).toDF(), cfg)
+        Synth.robotsFromPages(pages),
+        Synth.budgets(spark, synthCfg).toDF(), cfg,
+        accounts = Some(accounts))
     }
     val results = run(spark, catalog, pagesIdx, cfg)
     results.foreach { case (k, f, e) =>

@@ -2,7 +2,7 @@ package graft
 
 import graft.frontier.Wave
 import graft.queries.{RelationalQueries, TextQueries}
-import graft.seen.SeenState
+import graft.seen.ShardedSeen
 import graft.synth.{Synth, SynthConfig}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -20,7 +20,8 @@ object SparkEntry {
     val r = Wave.run(spark, 0,
       frontier = Synth.seedFrontier(spark, cfg).toDF(),
       seenExact = Seq.empty[Long].toDF("url_hash"),
-      state = SeenState.empty(10000L, 4),
+      shards = ShardedSeen.emptyShards(spark),
+      nShards = 4,
       robots = Synth.robots(spark, cfg).toDF(),
       budgets = Synth.budgets(spark, cfg).toDF(),
       pagesIdx = pagesIdx)

@@ -116,11 +116,16 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
 
   /** Union of a delta table across snapshots 0..id (append-only reads —
     * the Iceberg pattern: one multi-path parquet scan, no N unions). */
-  def readDeltasUpTo(id: Int, name: String): DataFrame = {
+  def readDeltasUpTo(id: Int, name: String): DataFrame =
+    readDeltasUpToOpt(id, name).getOrElse(
+      sys.error(s"no '$name' deltas up to snapshot $id"))
+
+  /** As [[readDeltasUpTo]], None when no snapshot carries the table
+    * (sparse deltas — e.g. `retracted` exists only in refresh snapshots). */
+  def readDeltasUpToOpt(id: Int, name: String): Option[DataFrame] = {
     val paths = (0 to id).map(snapshotPath(_).resolve(name))
       .filter(Files.isDirectory(_)).map(_.toString)
-    require(paths.nonEmpty, s"no '$name' deltas up to snapshot $id")
-    spark.read.parquet(paths: _*)
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
   def readSketch(id: Int): Option[Array[Byte]] = {

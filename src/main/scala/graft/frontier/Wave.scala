@@ -2,7 +2,7 @@ package graft.frontier
 
 import graft.extract.Extract
 import graft.model._
-import graft.seen.{SeenSet, SeenState}
+import graft.seen.{ShardedSeen, SketchShard}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -46,8 +46,11 @@ object Wave {
         * the replay-gate crawl ordering. */
       fetched: DataFrame,
       denied: DataFrame,
-      dedupedCount: Long,
-      deniedCount: Long,
+      /** one row per frontier-batch URL with its fate this wave
+        * (fetched / deferred / duplicate / denied) and the partition
+        * that decided it — the G4 per-partition metrics source. Counts
+        * derive from THIS plan, never from driver-side literals. */
+      ledger: DataFrame,
       /** persisted intermediates — caller unpersists after commit. */
       cached: Seq[DataFrame])
 
@@ -170,14 +173,18 @@ object Wave {
 
   /** Runs one full wave. `pagesIdx` must be the canonical page index:
     * (url_hash, url, text) keyed by canonicalized URL (see
-    * [[pageIndex]]). `seenExact` holds url_hash keys matching `state`'s
-    * sketches. Mutates nothing; all outputs are returned. */
+    * [[pageIndex]]). `seenExact` holds the url_hash keys the `shards`
+    * sketches cover. Mutates nothing; all outputs are returned — and
+    * nothing is COUNTED here: the wave builds pure plans, the caller's
+    * snapshot commit materializes them once with observed row counts
+    * (zero standalone driver-barrier count jobs per wave). */
   def run(
       spark: SparkSession,
       waveNo: Int,
       frontier: DataFrame,
       seenExact: DataFrame,
-      state: SeenState,
+      shards: Dataset[SketchShard],
+      nShards: Int,
       robots: DataFrame,
       budgets: DataFrame,
       pagesIdx: DataFrame,
@@ -185,20 +192,19 @@ object Wave {
     import spark.implicits._
     val DISK = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    // persist the shared upstream once: every branch below (counts,
-    // writes, discovery) reuses it instead of re-running the gate +
-    // dedupe lineage — at scale each recompute is a full frontier scan
+    // persist the shared upstreams once: every branch below (writes,
+    // metrics, discovery) reuses them instead of re-running the gate +
+    // dedupe lineage — at scale each recompute is a full frontier scan.
+    // Lazy persists: the commit's concurrent write jobs materialize them
+    // (Spark's block-level cache locking dedupes concurrent computes).
     val batch = dedupeInBatch(frontier).persist(DISK)
     val (allowed, denied) = robotsGate(batch, robots)
-    val fresh = SeenSet.notSeen(allowed, seenExact, state).persist(DISK)
-    // independent count jobs → run concurrently (latency, not throughput)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val Seq(allowedCount, freshCount, deniedCount) = Await.result(
-      Future.sequence(Seq(
-        Future(allowed.count()), Future(fresh.count()), Future(denied.count()))),
-      Duration.Inf)
+    // seen filter: shard-aligned sketch probe (no broadcast state), then
+    // exact-confirm of the maybe-slice only
+    val probed = ShardedSeen.probeShards(allowed, shards, nShards).persist(DISK)
+    val flagged = ShardedSeen.confirmFlag(probed, seenExact).persist(DISK)
+    val fresh = flagged.filter(!col("__dup")).drop("__dup")
+    val dups = flagged.filter(col("__dup")).drop("__dup")
 
     val decisions = enforceBudgets(fresh, budgets, cfg).persist(DISK)
     val toFetch = decisions.filter(col("fetched")).toDF()
@@ -218,7 +224,7 @@ object Wave {
     val listPages = joined.filter(col("kind") === "list")
       .select(col("url"), col("text"), col("wave"))
 
-    val articles = Extract.articles(detailPages).persist(DISK)
+    val articles = Extract.articles(detailPages)
     val comments = Extract.comments(detailPages)
 
     // discovery → frontier entries for wave k+1 with per-account recency
@@ -248,33 +254,62 @@ object Wave {
     val fetchedTbl = toFetch.select(col("wave"), col("priority"),
       col("url_hash"), col("url"), col("host"), col("partition_id"))
 
+    // G4 ledger: every frontier-batch row's fate, with REAL per-partition
+    // lineage — duplicate/denied rows record the partition that evaluated
+    // them (spark_partition_id at tag time), fetch decisions the token-
+    // bucket partition. Metrics aggregate this plan; no run-level literals.
+    val ledgerCols = Seq("url_hash", "host", "wave", "status", "partition_id")
+    def asLedger(df: DataFrame, status: String): DataFrame =
+      df.withColumn("status", lit(status))
+        .withColumn("partition_id", spark_partition_id())
+        .select(ledgerCols.map(col): _*)
+    val ledger = decisions.toDF()
+      .withColumn("status", when(col("fetched"), "fetched").otherwise("deferred"))
+      .select(ledgerCols.map(col): _*)
+      .unionByName(asLedger(dups, "duplicate"))
+      .unionByName(asLedger(denied, "denied"))
+
     WaveResult(decisions, articles, comments, discovered, frontierNext,
-      fetchedTbl, denied,
-      dedupedCount = allowedCount - freshCount,
-      deniedCount = deniedCount,
-      cached = Seq(batch, fresh, decisions.toDF(), joined, articles))
+      fetchedTbl, denied, ledger,
+      cached = Seq(batch, probed, flagged, decisions.toDF(), joined))
   }
 
   /** Canonical page index for the fetch join: url re-keyed to canonical
     * form, html column NEVER read (column pruning — the fat column stays
-    * on disk; SURVEY.md §5). */
+    * on disk; SURVEY.md §5). Requires one version per canonical URL —
+    * use [[pageIndexLatest]] for multi-snapshot corpora. */
   def pageIndex(pages: DataFrame): DataFrame =
     pages.select(graft.url.UrlParts(col("url")).as("__u"), col("text"))
       .select(col("__u.url_hash").as("url_hash"), col("__u.url").as("url"),
         col("text"))
 
-  /** G4 per-partition metrics rollup from the wave's decisions. */
-  def metrics(runId: String, waveNo: Int, decisions: Dataset[FetchDecision],
-      dedupedCount: Long, deniedCount: Long, extractedCount: Long,
-      wallMs: Long): DataFrame = {
-    val spark = decisions.sparkSession
-    decisions.toDF().groupBy(col("partition_id"))
-      .agg(sum(when(col("fetched"), 1L).otherwise(0L)).as("fetched"),
-        sum(when(!col("fetched"), 1L).otherwise(0L)).as("deferred"))
-      .select(lit(runId).as("run_id"), lit(waveNo).as("wave"),
-        col("partition_id"), col("fetched"),
-        lit(dedupedCount).as("deduped"), lit(deniedCount).as("denied"),
-        col("deferred"), lit(extractedCount).as("extracted"),
-        lit(wallMs).as("wall_ms"))
+  /** Page index over a multi-snapshot corpus (Common-Crawl-style: the
+    * same URL captured at several warc_ts): latest capture wins. One
+    * window over (url_hash, warc_ts desc) — an index-build cost paid
+    * once, outside the wave loop. */
+  def pageIndexLatest(pages: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url_hash")).orderBy(col("warc_ts").desc)
+    pages.select(graft.url.UrlParts(col("url")).as("__u"), col("warc_ts"), col("text"))
+      .select(col("__u.url_hash").as("url_hash"), col("__u.url").as("url"),
+        col("warc_ts"), col("text"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "warc_ts")
+  }
+
+  /** G4 per-partition metrics rollup from the wave's ledger. Every
+    * count is a real aggregate over the ledger plan (wave derived from
+    * the data, not lit(waveNo) — keeps wave plans codegen-cache
+    * identical); wave-level extracted/wall_ms live in the snapshot
+    * manifest, not here. */
+  def metrics(runId: String, ledger: DataFrame): DataFrame = {
+    def n(status: String) =
+      sum(when(col("status") === status, 1L).otherwise(0L))
+    ledger.groupBy(col("partition_id"))
+      .agg(max(col("wave")).as("wave"),
+        n("fetched").as("fetched"), n("duplicate").as("deduped"),
+        n("denied").as("denied"), n("deferred").as("deferred"))
+      .select(lit(runId).as("run_id"), col("wave"), col("partition_id"),
+        col("fetched"), col("deduped"), col("denied"), col("deferred"))
   }
 }

@@ -53,8 +53,16 @@ final case class ArticleComment(
 
 final case class RobotsRule(host: String, path_prefix: String, allowed: Boolean)
 
-final case class HostBudget(host: String, tokens_per_round: Int, tokens_left: Int)
+/** Politeness budget. Tokens REFILL every wave by design — a "round" is
+  * the politeness window (per-host rate cap per crawl round, the
+  * upstream semantics); there is deliberately no carried-over
+  * tokens_left state in the batch path. The streaming variant keeps
+  * rolling bucket state in GroupState instead. */
+final case class HostBudget(host: String, tokens_per_round: Int)
 
+/** G4 per-partition wave metrics — every field is aggregated from the
+  * wave's ledger plan (real lineage, no run-level literals); wave-level
+  * extracted/wall_ms live in the snapshot manifest. */
 final case class CrawlMetrics(
     run_id: String,
     wave: Int,
@@ -62,9 +70,7 @@ final case class CrawlMetrics(
     fetched: Long,
     deduped: Long,
     denied: Long,
-    deferred: Long,
-    extracted: Long,
-    wall_ms: Long)
+    deferred: Long)
 
 /** Emitted crawl ordering, the replay-gate artifact (FIXTURES.md §5). */
 final case class CrawlOrder(wave: Int, priority: Long, url_hash: Long, url: String)

@@ -202,6 +202,32 @@ object RelationalQueries {
         .select(col("o_orderkey"), col("path"), col("allowed"))
     }),
 
+    // A2/G1: seed-source progress — accounts (customer) LEFT JOIN their
+    // crawl output (orders), zero-progress seeds included
+    "q_seed_progress" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+    }),
+
+    // J5/A4: the re-crawl shape — last-write-wins per key across
+    // repeated captures, first vs latest value + update flag
+    "q_recrawl_update" -> ((s, d) => {
+      val wLast = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wFirst = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      t(s, d, "events")
+        .withColumn("rl", row_number().over(wLast))
+        .withColumn("rf", row_number().over(wFirst))
+        .groupBy(col("user_id"))
+        .agg(round(max(when(col("rf") === 1, col("value"))), 4).as("first_value"),
+          round(max(when(col("rl") === 1, col("value"))), 4).as("last_value"))
+        .withColumn("was_updated", col("first_value") =!= col("last_value"))
+    }),
+
     // S5: JSON payload extraction (the read/like-count shape)
     "q_json_extract" -> ((s, d) => {
       t(s, d, "events")
@@ -308,6 +334,23 @@ object RelationalQueries {
                ORDER BY length(r.path_prefix) DESC) AS rn
            FROM urls u JOIN rules r ON starts_with(u.path, r.path_prefix))
          WHERE rn = 1""",
+    "q_seed_progress" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+         round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+         FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+         GROUP BY 1""",
+    "q_recrawl_update" ->
+      """WITH ranked AS (
+           SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rf
+           FROM events)
+         SELECT user_id,
+           round(max(CASE WHEN rf = 1 THEN value END), 4) AS first_value,
+           round(max(CASE WHEN rl = 1 THEN value END), 4) AS last_value,
+           round(max(CASE WHEN rf = 1 THEN value END), 4)
+             <> round(max(CASE WHEN rl = 1 THEN value END), 4) AS was_updated
+         FROM ranked GROUP BY 1""",
     "q_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_val
          FROM events""",

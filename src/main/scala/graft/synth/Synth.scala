@@ -6,7 +6,7 @@ import java.util.SplittableRandom
 
 import graft.model._
 import graft.url.UrlCanon
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Deterministic synthetic crawl corpus (FIXTURES.md §1–§4, seed 42).
   *
@@ -121,14 +121,17 @@ object Synth {
     BaseUnix + a.toLong * 100000L - j.toLong * 3600L
   }
 
-  /** Article HTML — whitespace/newlines exact; goldens are byte-compared. */
-  def articleHtml(cfg: SynthConfig, seedIdx: Int, pubUnix: Long): String = {
+  /** Article HTML — whitespace/newlines exact; goldens are byte-compared.
+    * `readBump`/`likeBump` model a LATER crawl of the same URL (counters
+    * grew); 0 keeps v1 byte-identical to the pinned goldens. */
+  def articleHtml(cfg: SynthConfig, seedIdx: Int, pubUnix: Long,
+      readBump: Int = 0, likeBump: Int = 0): String = {
     val r = rng(cfg.seed, 1213, seedIdx)
     val title = words(r, 3 + r.nextInt(4))
     val p1 = words(r, (8 + r.nextInt(13)) * cfg.richness)
     val p2 = words(r, (8 + r.nextInt(13)) * cfg.richness)
-    val read = r.nextInt(100001)
-    val like = r.nextInt(10001)
+    val read = r.nextInt(100001) + readBump
+    val like = r.nextInt(10001) + likeBump
     val nC = r.nextInt(6)
     val comments = (0 until nC).map { ci =>
       val ctext = words(r, 2 + r.nextInt(5))
@@ -180,7 +183,8 @@ $title</h2>
 
   def accounts(spark: SparkSession, cfg: SynthConfig): Dataset[Account] = {
     import spark.implicits._
-    (0 until cfg.nAccounts).map(a => Account(biz(a), s"account-$a", a)).toDS()
+    spark.range(cfg.nAccounts.toLong)
+      .map(i => Account(biz(i.toInt), s"account-$i", i.toInt))
   }
 
   /** Default-allow "/" per host; every 13th long-tail host denies /page/. */
@@ -198,32 +202,83 @@ $title</h2>
   /** Hot host 64 tokens/round, long-tail 8 — forces multi-wave deferral. */
   def budgets(spark: SparkSession, cfg: SynthConfig): Dataset[HostBudget] = {
     import spark.implicits._
-    val hot = Seq(HostBudget(HotHost, 64, 64))
-    val tail = (0 until NLongTailHosts).map(k => HostBudget(s"host$k.example", 8, 8))
+    val hot = Seq(HostBudget(HotHost, 64))
+    val tail = (0 until NLongTailHosts).map(k => HostBudget(s"host$k.example", 8))
     (hot ++ tail).toDS()
   }
 
-  /** Seed entry i ∈ [0, nAccounts + longTail) — pure, deterministic. */
-  def seedAt(cfg: SynthConfig, i: Int): FrontierEntry = {
-    val ts = new Timestamp(BaseUnix * 1000L)
-    if (i < cfg.nAccounts) {
-      val u = UrlCanon.canonicalize(listUrl(i, 0))
-      FrontierEntry(u, UrlCanon.urlHash(u), HotHost, biz(i), "list", 0, i.toLong, ts)
-    } else {
-      val t = i - cfg.nAccounts
-      val u = UrlCanon.canonicalize(longTailUrl(cfg, t))
-      FrontierEntry(u, UrlCanon.urlHash(u), longTailHost(t), "", "detail", 0,
-        1000000L + t, ts)
-    }
+  /** Re-crawled (v2) snapshot of article artIdx's detail page: same URL,
+    * later warc_ts, read/like counters bumped deterministically — the
+    * refresh path's "the web changed" fixture. */
+  def articlePageV2(cfg: SynthConfig, artIdx: Int): Page = {
+    val url = articleUrlRaw(cfg, artIdx)
+    val text = articleHtml(cfg, artSeedIdx(cfg, artIdx), publishUnix(cfg, artIdx),
+      readBump = 1000 + artIdx, likeBump = 77)
+    Page(url, new Timestamp((BaseUnix + 86400L) * 1000L),
+      text.getBytes(UTF_8), text, pickLang(rng(cfg.seed, 3407, artIdx)))
   }
 
-  /** Wave-0 frontier: list page 0 per seed account + all long-tail URLs.
-    * Built DISTRIBUTED (pure function of the row index) — canonicalizing
-    * 10^5+ seed URLs on the driver would be a serial stall. */
+  // ------------------------------------------------------- robots pages
+
+  /** robots.txt body for synthetic host index i (0 = hot host, i-1 = the
+    * long-tail host id). The rules encoded here are the SOURCE the crawl
+    * ingests (fetch /robots.txt → RobotsParser → rules table); they
+    * parse to exactly the same table as [[robots]]. */
+  def robotsPageAt(i: Int): Page = {
+    val (host, txt) =
+      if (i == 0) (HotHost, "User-agent: *\nAllow: /\n")
+      else {
+        val k = i - 1
+        val h = s"host$k.example"
+        if (k % 13 == 0)
+          (h, "# crawl-limited host\nUser-agent: *\nDisallow: /page/\nAllow: /\n")
+        else (h, "User-agent: *\nAllow: /\n")
+      }
+    Page(s"https://$host/robots.txt", new Timestamp(BaseUnix * 1000L),
+      txt.getBytes(UTF_8), txt, "en")
+  }
+
+  /** One /robots.txt page per synthetic host — union into the pages
+    * corpus so the crawl can ingest its own rules. */
+  def robotsPages(spark: SparkSession): Dataset[Page] = {
+    import spark.implicits._
+    spark.range((NLongTailHosts + 1).toLong).map(i => robotsPageAt(i.toInt))
+  }
+
+  /** Fetch+parse the corpus's /robots.txt pages into the rules table
+    * (A1→P3 ingestion: no pre-built rules — the crawl reads the web). */
+  def robotsFromPages(pages: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val robotsBodies = pages
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(UrlCanon.hostCol(col("url")).as("host"), col("text").as("robots_txt"))
+    graft.frontier.RobotsParser.parseTable(robotsBodies)
+  }
+
+  /** Frontier entry derived from one ACCOUNTS-table row (A2: the seed
+    * source is the account list, not a synthesized index). */
+  def seedFromAccount(a: Account): FrontierEntry = {
+    val u = UrlCanon.canonicalize(listUrl(a.seed_rank, 0))
+    FrontierEntry(u, UrlCanon.urlHash(u), HotHost, a.biz, "list", 0,
+      a.seed_rank.toLong, new Timestamp(BaseUnix * 1000L))
+  }
+
+  /** Long-tail seed t — pure, deterministic. */
+  def seedTailAt(cfg: SynthConfig, t: Int): FrontierEntry = {
+    val u = UrlCanon.canonicalize(longTailUrl(cfg, t))
+    FrontierEntry(u, UrlCanon.urlHash(u), longTailHost(t), "", "detail", 0,
+      1000000L + t, new Timestamp(BaseUnix * 1000L))
+  }
+
+  /** Wave-0 frontier: list page 0 per ACCOUNTS row + all long-tail URLs.
+    * Built DISTRIBUTED (a map over the accounts dataset / row index) —
+    * canonicalizing 10^5+ seed URLs on the driver would be a serial
+    * stall. */
   def seedFrontier(spark: SparkSession, cfg: SynthConfig): Dataset[FrontierEntry] = {
     import spark.implicits._
-    spark.range((cfg.nAccounts + cfg.longTail).toLong)
-      .map(i => seedAt(cfg, i.toInt))
+    val fromAccounts = accounts(spark, cfg).map(seedFromAccount)
+    val tail = spark.range(cfg.longTail.toLong).map(t => seedTailAt(cfg, t.toInt))
+    fromAccounts.unionByName(tail)
   }
 
   // ------------------------------------------------------------- helpers

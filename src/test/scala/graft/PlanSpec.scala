@@ -101,17 +101,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("two-stage seen filter: exact anti-join input is only the maybe-slice") {
-    // structural property: notSeen's plan contains a broadcast/shuffle
-    // anti-join that is fed by a Filter on the sketch probe — i.e. the
-    // exact join never sees bloom-negative rows
+  test("seen filter: shard-aligned cogroup probe, NO broadcast of seen state") {
+    // structural 10^10 gate: the sketch state reaches executors via a
+    // shard-keyed CoGroup (each task sees only its shards), never as a
+    // broadcast variable/join; the exact join sees only the maybe-slice
     import spark.implicits._
     val seen = (1L to 100L).toDF("url_hash")
-    val st = graft.seen.SeenState.build(seen, "url_hash", 1000, 2)
+    val shards = graft.seen.ShardedSeen.updatedShards(
+      graft.seen.ShardedSeen.emptyShards(spark), seen,
+      spark.range(0).selectExpr("id as url_hash"), 1000, 2)
     val frontier = (1L to 1000L).map(i => (i, s"u$i")).toDF("url_hash", "url")
-    val out = graft.seen.SeenSet.notSeen(frontier, seen, st)
+    val out = graft.seen.ShardedSeen.notSeen(frontier, seen, shards, 2)
     val plan = planOf(out)
-    assert(plan.contains("LeftAnti"), plan.take(500))
+    assert(plan.contains("CoGroup"), s"probe must be shard-cogrouped:\n${plan.take(800)}")
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("BroadcastExchange"),
+      s"seen state must never broadcast:\n${plan.take(800)}")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      "exact confirm must be a shuffle-side join")
     assert(plan.toLowerCase.contains("union"), "definitely-new path must bypass the join")
+    // the exact join is fed by a filter on the probe flag (maybe-slice only)
+    assert(plan.contains("__maybe"), plan.take(800))
   }
 }

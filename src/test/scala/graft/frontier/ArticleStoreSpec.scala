@@ -55,13 +55,18 @@ class ArticleStoreSpec extends SparkSpec {
     (1 to catalog.latest.get).foreach { snap =>
       val m = catalog.readTable(snap, "metrics")
       assert(m.count() > 0)
+      // per-partition counts are REAL lineage: they must sum (not max —
+      // no run-level literals repeated per row) to the wave's tables
       val total = m.agg(sum("fetched")).as[Long].head()
       assert(total === catalog.readTable(snap, "fetched").count(),
         "per-partition fetched must sum to the wave's fetched rows")
-      val denied = m.select(max("denied")).as[Long].head()
+      val denied = m.agg(sum("denied")).as[Long].head()
       assert(denied === catalog.readTable(snap, "denied").count())
-      assert(m.select(max("extracted")).as[Long].head() ===
-        catalog.readTable(snap, "articles_delta").count())
+      // extracted lives in the manifest (observed during the write)
+      val mf = catalog.manifest(snap)
+      val extracted = "\"articles_delta\":\\{\"rows\":(\\d+)".r
+        .findFirstMatchIn(mf).get.group(1).toLong
+      assert(extracted === catalog.readTable(snap, "articles_delta").count())
     }
   }
 }

@@ -17,13 +17,15 @@ class WaveSpec extends SparkSpec {
     java.nio.file.Files.createTempDirectory("wave-spec").toString
 
   private def crawl(dir: String, nWaves: Int, fromScratch: Boolean = true,
-      waveCfg: Wave.WaveConfig = Wave.WaveConfig()): SnapshotCatalog = {
+      waveCfg: Wave.WaveConfig = Wave.WaveConfig(),
+      robots: DataFrame = null): SnapshotCatalog = {
     val catalog = new SnapshotCatalog(dir, spark)
     val rc = CrawlDriver.RunConfig(dir, nWaves = nWaves, seenCapacity = 50000L,
       nShards = 4, waveCfg = waveCfg)
     if (fromScratch) {
       CrawlDriver.init(spark, catalog, Synth.seedFrontier(spark, cfg).toDF(),
-        Synth.robots(spark, cfg).toDF(), Synth.budgets(spark, cfg).toDF(), rc)
+        Option(robots).getOrElse(Synth.robots(spark, cfg).toDF()),
+        Synth.budgets(spark, cfg).toDF(), rc)
     }
     CrawlDriver.run(spark, catalog, pagesIdx, rc)
     catalog
@@ -149,6 +151,76 @@ class WaveSpec extends SparkSpec {
     val perBiz = arts.groupBy("biz")
       .agg(count("*").as("n"), max("publish_ts").as("newest"))
     assert(perBiz.count() === cfg.nAccounts.toLong)
+  }
+
+  test("robots rules ingest from corpus /robots.txt pages (no pre-built table)") {
+    val corpus = Synth.pages(spark, cfg).toDF()
+      .unionByName(Synth.robotsPages(spark).toDF())
+    val ingested = Synth.robotsFromPages(corpus)
+    // parsed rules ≡ the pre-built table (as a set)
+    val got = ingested.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    val want = Synth.robots(spark, cfg).collect()
+      .map(r => (r.host, r.path_prefix, r.allowed)).toSet
+    assert(got === want)
+    // and an end-to-end crawl gated by the ingested rules replays the
+    // pre-built-rules crawl exactly
+    val a = orderKey(crawl(freshDir(), 2))
+    val b = orderKey(crawl(freshDir(), 2, robots = ingested))
+    assert(a === b)
+  }
+
+  test("re-crawl refresh: retraction + re-fetch updates counts last-write-wins") {
+    val small = SynthConfig(nAccounts = 2, articlesPerAccount = 6, longTail = 0)
+    val corpus1 = Synth.pages(spark, small).toDF()
+    val idx1 = Wave.pageIndex(corpus1).cache()
+    val dir = freshDir()
+    val catalog = new SnapshotCatalog(dir, spark)
+    val rc = CrawlDriver.RunConfig(dir, nWaves = 5, seenCapacity = 10000L, nShards = 2)
+    CrawlDriver.init(spark, catalog, Synth.seedFrontier(spark, small).toDF(),
+      Synth.robots(spark, small).toDF(), Synth.budgets(spark, small).toDF(), rc)
+    CrawlDriver.run(spark, catalog, idx1, rc)
+    val drained = catalog.latest.get
+    val before = ArticleStore.articles(catalog, drained)
+    val beforeReads = before.filter($"biz" === "BIZ0000")
+      .select("url_hash", "read_count").as[(Long, Int)].collect().toMap
+    assert(beforeReads.size === small.articlesPerAccount)
+
+    // the web changed: v2 captures for account 0's articles (read bumped)
+    val v2 = (0 until small.articlesPerAccount).map(j => Synth.articlePageV2(small, j))
+    val idx2 = Wave.pageIndexLatest(corpus1.unionByName(v2.toDF())).cache()
+    // latest-wins index: v1-only urls unchanged, v2 urls picked
+    assert(idx2.count() === idx1.count())
+
+    val refreshEntries = before.filter($"biz" === "BIZ0000")
+      .select($"url", $"url_hash", lit(Synth.HotHost).as("host"), $"biz",
+        lit("detail").as("kind"), lit(0).cast("int").as("wave"),
+        lit(0L).as("priority"),
+        lit(new java.sql.Timestamp(Synth.BaseUnix * 1000L)).as("discovered_ts"))
+    val nextWave = CrawlDriver.enqueueRefresh(spark, catalog, refreshEntries, rc)
+    CrawlDriver.run(spark, catalog, idx2, rc.copy(nWaves = nextWave + 1))
+
+    val after = ArticleStore.articles(catalog, catalog.latest.get)
+    val afterReads = after.filter($"biz" === "BIZ0000")
+      .select("url_hash", "read_count").as[(Long, Int)].collect().toMap
+    // merged view serves the REFRESHED counts, one row per url
+    assert(afterReads.keySet === beforeReads.keySet)
+    (0 until small.articlesPerAccount).foreach { j =>
+      val h = graft.url.UrlCanon.urlHash(Synth.articleUrlRaw(small, j))
+      assert(afterReads(h) === beforeReads(h) + 1000 + j,
+        s"article $j read_count must be the v2 capture")
+    }
+    // account 1 untouched
+    val others = after.filter($"biz" === "BIZ0001")
+      .select("url_hash", "read_count").as[(Long, Int)].collect().toMap
+    val othersBefore = before.filter($"biz" === "BIZ0001")
+      .select("url_hash", "read_count").as[(Long, Int)].collect().toMap
+    assert(others === othersBefore)
+    // refreshed urls were genuinely fetched TWICE (seen-set retraction worked)
+    val fetchCounts = catalog.readDeltasUpTo(catalog.latest.get, "fetched")
+      .groupBy("url_hash").count().as[(Long, Long)].collect().toMap
+    beforeReads.keySet.foreach(h => assert(fetchCounts(h) === 2L))
+    othersBefore.keySet.foreach(h => assert(fetchCounts(h) === 1L))
   }
 
   test("frontier drains to empty on a fully-crawlable corpus") {

@@ -63,30 +63,43 @@ class CuckooFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
-class SeenSetSpec extends SparkSpec {
+class ShardedSeenSpec extends SparkSpec {
   import spark.implicits._
 
-  test("SeenState build/serialize/merge has no false negatives") {
-    val seen = (1L to 5000L).map(_ * 2654435761L).toDF("url_hash")
-    val st = SeenState.build(seen, "url_hash", 5000, nShards = 8)
-    seen.as[Long].collect().foreach(h => assert(st.mightContain(h)))
-    val back = SeenState.deserialize(st.serialize())
-    seen.as[Long].collect().foreach(h => assert(back.mightContain(h)))
-    // merge a second wave (same run-level capacity — merge requirement)
-    val wave2 = (5001L to 6000L).map(_ * 2654435761L).toDF("url_hash")
-    val st2 = SeenState.build(wave2, "url_hash", 5000, nShards = 8)
-    back.mergeInPlace(st2)
-    (1L to 6000L).map(_ * 2654435761L).foreach(h => assert(back.mightContain(h)))
+  private def empty(spark: org.apache.spark.sql.SparkSession) =
+    ShardedSeen.emptyShards(spark)
+
+  private def build(keys: Seq[Long], capacity: Long, nShards: Int) =
+    ShardedSeen.updatedShards(empty(spark), keys.toDF("url_hash"),
+      spark.range(0).selectExpr("id as url_hash"), capacity, nShards)
+
+  test("shard table build/update is executor-side and has no false negatives") {
+    val keys = (1L to 5000L).map(_ * 2654435761L)
+    val shards = build(keys, 5000, nShards = 8)
+    val rows = shards.collect()
+    assert(rows.map(_.shard).toSet.subsetOf((0 until 8).toSet))
+    val sketches = rows.map(s => s.shard -> ShardSketch.deserialize(s.bytes)).toMap
+    keys.foreach { h =>
+      val sk = sketches(ShardedSeen.shardOf(h, 8))
+      assert(sk.mightContain(h), s"false negative for $h")
+    }
+    // second wave merges per shard at the same capacity (table round-trip)
+    val wave2 = (5001L to 6000L).map(_ * 2654435761L)
+    val merged = ShardedSeen.updatedShards(shards, wave2.toDF("url_hash"),
+      spark.range(0).selectExpr("id as url_hash"), 5000, 8)
+    val m = merged.collect().map(s => s.shard -> ShardSketch.deserialize(s.bytes)).toMap
+    (keys ++ wave2).foreach(h =>
+      assert(m(ShardedSeen.shardOf(h, 8)).mightContain(h)))
   }
 
   test("two-stage notSeen equals plain left_anti join") {
     val seenKeys = (1L to 3000L).map(i => i * 0x9e3779b9L)
     val seen = seenKeys.toDF("url_hash")
-    val st = SeenState.build(seen, "url_hash", 3000, nShards = 4)
+    val shards = build(seenKeys, 3000, nShards = 4)
     // frontier: half dupes, half new, extra payload column
     val frontier = ((1L to 1500L) ++ (100001L to 101500L))
       .map(i => (i * 0x9e3779b9L, s"u$i")).toDF("url_hash", "url")
-    val got = SeenSet.notSeen(frontier, seen, st)
+    val got = ShardedSeen.notSeen(frontier, seen, shards, 4)
       .select("url_hash", "url").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val want = frontier.join(seen, Seq("url_hash"), "left_anti")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
@@ -96,12 +109,38 @@ class SeenSetSpec extends SparkSpec {
 
   test("notSeen result is identical across parallelism (4 vs 1 partitions)") {
     val seen = (1L to 500L).map(_ * 31L).toDF("url_hash")
-    val st = SeenState.build(seen, "url_hash", 500, nShards = 4)
+    val shards = build((1L to 500L).map(_ * 31L), 500, nShards = 4)
     val frontier = (1L to 2000L).map(i => (i * 31L, i)).toDF("url_hash", "id")
-    val a = SeenSet.notSeen(frontier.repartition(4), seen, st)
+    val a = ShardedSeen.notSeen(frontier.repartition(4), seen, shards, 4)
       .select("id").as[Long].collect().sorted.toSeq
-    val b = SeenSet.notSeen(frontier.coalesce(1), seen, st)
+    val b = ShardedSeen.notSeen(frontier.coalesce(1), seen, shards, 4)
       .select("id").as[Long].collect().sorted.toSeq
     assert(a === b)
+  }
+
+  test("retraction: cuckoo delete makes keys definitely-new; re-insert re-seens") {
+    val keys = (1L to 400L).map(_ * 0x9e3779b9L)
+    val shards = build(keys, 1000, nShards = 4)
+    val retractKeys = keys.take(100)
+    val retracted = ShardedSeen.updatedShards(shards,
+      spark.range(0).selectExpr("id as url_hash"),
+      retractKeys.toDF("url_hash"), 1000, 4)
+    val m = retracted.collect().map(s => s.shard -> ShardSketch.deserialize(s.bytes)).toMap
+    // kept keys still maybe-seen (never a false negative for live keys)
+    keys.drop(100).foreach(h =>
+      assert(m(ShardedSeen.shardOf(h, 4)).mightContain(h)))
+    // probe path: retracted keys flow as definitely-new even though the
+    // exact table still lists them (the seen-keys view excludes them)
+    val frontier = retractKeys.map(h => (h, s"u$h")).toDF("url_hash", "url")
+    val stillSeen = keys.toDF("url_hash") // stale exact table
+    val out = ShardedSeen.notSeen(frontier, stillSeen, retracted, 4)
+    assert(out.count() === 100, "cuckoo delete must route around the exact join")
+    // re-fetch re-inserts → seen again
+    val reinserted = ShardedSeen.updatedShards(retracted,
+      retractKeys.toDF("url_hash"),
+      spark.range(0).selectExpr("id as url_hash"), 1000, 4)
+    val m2 = reinserted.collect().map(s => s.shard -> ShardSketch.deserialize(s.bytes)).toMap
+    retractKeys.foreach(h =>
+      assert(m2(ShardedSeen.shardOf(h, 4)).mightContain(h)))
   }
 }

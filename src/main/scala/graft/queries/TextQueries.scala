@@ -245,19 +245,34 @@ object TextQueries {
 
   /** Deterministic pseudo-random hyperplanes, banded: one row per
     * (vec_id, band) with bucket = the band's 16-bit sign pattern.
-    * Hyperplane j, dim i weight = ±1 from xxhash64("hp<j>_<i>"). All 64
-    * dot products come from ONE pass over the embedding array (nested
-    * higher-order functions — no UDF, codegen-friendly). */
+    * Hyperplane j, dim i weight = ±1 from xxhash64("hp<j>_<i>") —
+    * PRECOMPUTED into one literal (nPlanes × dim) weight matrix: the
+    * weights depend only on (plane, dim), so hashing them per row would
+    * burn 64×dim hashes/vector for constants (at 10^10 vectors that's
+    * the whole job). The matrix ships once in the plan (broadcast-sized:
+    * 64×dim doubles); dots are zip_with/aggregate — no UDF. */
   def annBuckets(embeddings: DataFrame,
       nBands: Int = AnnBands, bitsPerBand: Int = AnnBitsPerBand): DataFrame = {
     val nPlanes = nBands * bitsPerBand
+    val first = embeddings.select(size(col("embedding")).as("d")).take(1)
+    if (first.isEmpty)
+      return embeddings.sparkSession.emptyDataFrame
+        .withColumn("vec_id", lit(0L)).withColumn("band", lit(0))
+        .withColumn("bucket", lit(0L)).limit(0)
+    val dim = first.head.getInt(0)
+    val weights: Seq[Seq[Double]] = (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(org.apache.spark.unsafe.types.UTF8String.fromString(s"hp${j}_$i"),
+            org.apache.spark.sql.types.StringType, 42L).asInstanceOf[Long]
+        (((h % 2) + 2) % 2).toDouble * 2.0 - 1.0
+      }
+    }
+    val w = typedLit(weights)
     val dots = transform(sequence(lit(0), lit(nPlanes - 1)), j =>
       aggregate(
-        zip_with(col("embedding"),
-          sequence(lit(0), size(col("embedding")) - 1),
-          (x, i) => x.cast("double") *
-            (pmod(xxhash64(concat(lit("hp"), j.cast("string"), lit("_"),
-              i.cast("string"))), lit(2)).cast("double") * 2.0 - 1.0)),
+        zip_with(col("embedding"), element_at(w, j + 1),
+          (x, wi) => x.cast("double") * wi),
         lit(0.0), (acc, v) => acc + v))
     val withDots = embeddings.select(col("vec_id"), dots.as("__dots"))
     val bands = (0 until nBands).map { b =>

@@ -62,7 +62,7 @@ object CrawlDriver {
         "budgets" -> budgets,
         "seen_sketch" -> ShardedSeen.emptyShards(spark).toDF()) ++
         accounts.map("accounts" -> _),
-      meta = Map("run_id" -> cfg.runId))
+      meta = Map("run_id" -> cfg.runId, "n_shards" -> cfg.nShards.toString))
   }
 
   /** Exact seen keys at wave k: all fetched url_hashes minus ACTIVE
@@ -93,6 +93,7 @@ object CrawlDriver {
       cfg: RunConfig): (Long, Long, Long) = {
     import spark.implicits._
     val t0 = System.nanoTime()
+    requireShardConfig(catalog, cfg)
     val frontier = catalog.readTable(k, "frontier")
     val seenExact = seenKeys(catalog, k)
     val shards = catalog.readTable(k, "seen_sketch").as[SketchShard]
@@ -150,10 +151,16 @@ object CrawlDriver {
   /** Re-crawl: retract `refresh` URLs (FrontierEntry-shaped rows) from
     * the seen set and enqueue them for the next wave. Commits snapshot
     * latest+1 holding: frontier ∪ refresh rows, the retraction delta,
-    * and the shard table with cuckoo deletes applied (the keys are known
-    * inserted — they come from committed fetched/articles — honoring the
-    * delete contract). The following [[run]] (nWaves ≥ latest+2)
-    * re-fetches them; [[graft.frontier.ArticleStore.articles]] then
+    * and the shard table with cuckoo deletes applied.
+    *
+    * The cuckoo delete contract (only keys known inserted) is ENFORCED
+    * here, not assumed: refresh keys are deduped and semi-joined against
+    * the CURRENT seen view (fetched minus already-active retractions),
+    * so a double refresh, a never-fetched URL, or a still-pending URL
+    * never issues a delete — each of those could otherwise evict a
+    * colliding fingerprint and break never-fetch-twice. The call is
+    * therefore idempotent. The following [[run]] (nWaves ≥ latest+2)
+    * re-fetches the keys; [[graft.frontier.ArticleStore.articles]] then
     * serves the refreshed read/like counts last-write-wins. */
   def enqueueRefresh(
       spark: SparkSession,
@@ -163,8 +170,12 @@ object CrawlDriver {
     import spark.implicits._
     val latest = catalog.latest.getOrElse(
       sys.error("catalog not initialized — call init() first"))
+    requireShardConfig(catalog, cfg)
     val nextWave = latest + 1
+    // contract gate: only currently-seen keys are retractable
     val entries = refresh
+      .dropDuplicates("url_hash")
+      .join(seenKeys(catalog, latest), Seq("url_hash"), "left_semi")
       .withColumn("wave", lit(nextWave).cast("int"))
       .select("url", "url_hash", "host", "biz", "kind", "wave", "priority",
         "discovered_ts")
@@ -173,16 +184,31 @@ object CrawlDriver {
     val noInserts = spark.range(0).select(col("id").as("url_hash"))
     val newShards = ShardedSeen.updatedShards(shards, noInserts,
       retracted.select("url_hash"), cfg.seenCapacity, cfg.nShards)
+    // normalize carried-over rows to the new wave: every frontier(k) row
+    // carries wave=k (the invariant the fetched/retraction wave compare
+    // in seenKeys depends on)
     val frontier = catalog.readTable(latest, "frontier")
+      .withColumn("wave", lit(nextWave).cast("int"))
       .unionByName(entries)
     catalog.commit(nextWave, wave = latest,
       tables = Map(
         "frontier" -> frontier,
         "retracted" -> retracted,
         "seen_sketch" -> newShards.toDF()),
-      meta = Map("run_id" -> cfg.runId, "refresh" -> "true"))
+      meta = Map("run_id" -> cfg.runId, "refresh" -> "true",
+        "n_shards" -> cfg.nShards.toString))
     nextWave
   }
+
+  /** Shard count is part of the persisted state's key space: resuming
+    * with a different nShards would probe the wrong shard and silently
+    * produce false negatives. Validated against snapshot-0 meta. */
+  private def requireShardConfig(catalog: SnapshotCatalog, cfg: RunConfig): Unit =
+    catalog.metaValue(0, "n_shards").foreach { v =>
+      require(v.toInt == cfg.nShards,
+        s"seen_sketch was built with n_shards=$v; resume must use the same " +
+          s"value (got ${cfg.nShards})")
+    }
 
   /** Standalone main: synthesize a corpus, crawl it for N waves, print a
     * summary. args: [nPages] [nWaves] [checkpointDir] */

@@ -47,13 +47,12 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  /** Atomically commit snapshot `id`: tables → parquet, sketch → bin,
-    * manifest last, then rename. Returns per-table row counts. */
+  /** Atomically commit snapshot `id`: tables → parquet, manifest last,
+    * then rename. Returns per-table row counts. */
   def commit(
       id: Int,
       wave: Int,
       tables: Map[String, DataFrame],
-      sketch: Option[Array[Byte]] = None,
       meta: Map[String, String] = Map.empty): Map[String, Long] = {
     require(latest.forall(_ < id), s"snapshot $id already committed")
     val tmp = root.resolve(s"tmp-$id")
@@ -71,8 +70,12 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
         Future {
           val dir = tmp.resolve(name)
           // observe() piggybacks the row count onto the write job itself —
-          // never re-read what was just written (the count is exact: every
-          // row flows through the observed node exactly once per write)
+          // never re-read what was just written. Caveat for cluster runs:
+          // CollectMetrics accumulators can over-report under speculative
+          // execution / stage retries; exact here (local, no speculation)
+          // and consumers only test counts for == 0 (drain) where
+          // inflation is harmless. A cluster deployment would source
+          // counts from the committer's write-task stats instead.
           val obs = org.apache.spark.sql.Observation(s"commit-$id-$name")
           df.observe(obs, org.apache.spark.sql.functions.count(
             org.apache.spark.sql.functions.lit(1)).as("rows"))
@@ -87,8 +90,6 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
         }
       }, Duration.Inf)
     val tableEntries = written.map(_._3)
-    sketch.foreach(b => Files.write(tmp.resolve("sketch.bin"), b))
-
     val parent = latest.map(_.toString).getOrElse("null")
     val metaJson = meta.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
@@ -128,10 +129,10 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
     if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
   }
 
-  def readSketch(id: Int): Option[Array[Byte]] = {
-    val p = snapshotPath(id).resolve("sketch.bin")
-    if (Files.exists(p)) Some(Files.readAllBytes(p)) else None
-  }
+  /** A meta value recorded at commit time (e.g. run_id, n_shards). */
+  def metaValue(id: Int, key: String): Option[String] =
+    ("\"" + java.util.regex.Pattern.quote(key) + "\":\"([^\"]*)\"").r
+      .findFirstMatchIn(manifest(id)).map(_.group(1))
 
   /** Minimal JSON string escaping — table names / meta values are
     * caller-supplied (a run_id containing `"` or `\` must not produce a

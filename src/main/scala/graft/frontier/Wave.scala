@@ -257,17 +257,22 @@ object Wave {
     // G4 ledger: every frontier-batch row's fate, with REAL per-partition
     // lineage — duplicate/denied rows record the partition that evaluated
     // them (spark_partition_id at tag time), fetch decisions the token-
-    // bucket partition. Metrics aggregate this plan; no run-level literals.
-    val ledgerCols = Seq("url_hash", "host", "wave", "status", "partition_id")
-    def asLedger(df: DataFrame, status: String): DataFrame =
+    // bucket partition. `stage` namespaces the partition ids: the three
+    // fates are decided by different physical stages, so partition 7 of
+    // the budget stage is not partition 7 of the gate scan. Metrics
+    // aggregate this plan; no run-level literals.
+    val ledgerCols = Seq("url_hash", "host", "wave", "status", "stage", "partition_id")
+    def asLedger(df: DataFrame, status: String, stage: String): DataFrame =
       df.withColumn("status", lit(status))
+        .withColumn("stage", lit(stage))
         .withColumn("partition_id", spark_partition_id())
         .select(ledgerCols.map(col): _*)
     val ledger = decisions.toDF()
       .withColumn("status", when(col("fetched"), "fetched").otherwise("deferred"))
+      .withColumn("stage", lit("budget"))
       .select(ledgerCols.map(col): _*)
-      .unionByName(asLedger(dups, "duplicate"))
-      .unionByName(asLedger(denied, "denied"))
+      .unionByName(asLedger(dups, "duplicate", "seen"))
+      .unionByName(asLedger(denied, "denied", "robots"))
 
     WaveResult(decisions, articles, comments, discovered, frontierNext,
       fetchedTbl, denied, ledger,
@@ -297,19 +302,21 @@ object Wave {
       .drop("__rn", "warc_ts")
   }
 
-  /** G4 per-partition metrics rollup from the wave's ledger. Every
-    * count is a real aggregate over the ledger plan (wave derived from
-    * the data, not lit(waveNo) — keeps wave plans codegen-cache
-    * identical); wave-level extracted/wall_ms live in the snapshot
-    * manifest, not here. */
+  /** G4 per-partition metrics rollup from the wave's ledger, keyed by
+    * (stage, partition_id) — a row's counts all come from one physical
+    * partition of one stage. Every count is a real aggregate over the
+    * ledger plan (wave derived from the data, not lit(waveNo) — keeps
+    * wave plans codegen-cache identical); wave-level extracted/wall_ms
+    * live in the snapshot manifest, not here. */
   def metrics(runId: String, ledger: DataFrame): DataFrame = {
     def n(status: String) =
       sum(when(col("status") === status, 1L).otherwise(0L))
-    ledger.groupBy(col("partition_id"))
+    ledger.groupBy(col("stage"), col("partition_id"))
       .agg(max(col("wave")).as("wave"),
         n("fetched").as("fetched"), n("duplicate").as("deduped"),
         n("denied").as("denied"), n("deferred").as("deferred"))
-      .select(lit(runId).as("run_id"), col("wave"), col("partition_id"),
+      .select(lit(runId).as("run_id"), col("wave"), col("stage"),
+        col("partition_id"),
         col("fetched"), col("deduped"), col("denied"), col("deferred"))
   }
 }

@@ -61,11 +61,14 @@ final case class RobotsRule(host: String, path_prefix: String, allowed: Boolean)
 final case class HostBudget(host: String, tokens_per_round: Int)
 
 /** G4 per-partition wave metrics — every field is aggregated from the
-  * wave's ledger plan (real lineage, no run-level literals); wave-level
-  * extracted/wall_ms live in the snapshot manifest. */
+  * wave's ledger plan (real lineage, no run-level literals); `stage`
+  * names the physical stage whose partition decided the rows (budget /
+  * seen / robots); wave-level extracted/wall_ms live in the snapshot
+  * manifest. */
 final case class CrawlMetrics(
     run_id: String,
     wave: Int,
+    stage: String,
     partition_id: Int,
     fetched: Long,
     deduped: Long,

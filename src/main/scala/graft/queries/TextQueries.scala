@@ -143,7 +143,6 @@ object TextQueries {
         .select(col("id_a"), col("id_b"),
           round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
-        .select(col("id_a"), col("id_b"), col("cos_sim"))
     }),
 
     // ---- text analysis ---------------------------------------------

@@ -35,10 +35,12 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(m.contains(""""rows":3""") && m.contains(".parquet"))
     assert(c.readDeltasUpTo(2, "d").as[Int].collect().sorted.toSeq === Seq(1, 2, 3, 4, 5, 6))
     assert(c.readDeltasUpTo(1, "d").count() === 3)
-    // sketch round-trip
-    c.commit(3, 2, Map("d" -> Seq(7).toDF("x")), sketch = Some(Array[Byte](1, 2, 3)))
-    assert(c.readSketch(3).get.toSeq === Seq[Byte](1, 2, 3))
-    assert(c.readSketch(2) === None)
+    // meta round-trip (incl. JSON escaping of hostile values)
+    c.commit(3, 2, Map("d" -> Seq(7).toDF("x")),
+      meta = Map("n_shards" -> "16", "run_id" -> """r"un\0"""))
+    assert(c.metaValue(3, "n_shards") === Some("16"))
+    assert(c.metaValue(2, "n_shards") === None)
+    assert(c.manifest(3).contains("""r\"un\\0"""))
   }
 
   test("commit refuses to go backwards") {

@@ -197,7 +197,19 @@ class WaveSpec extends SparkSpec {
         lit("detail").as("kind"), lit(0).cast("int").as("wave"),
         lit(0L).as("priority"),
         lit(new java.sql.Timestamp(Synth.BaseUnix * 1000L)).as("discovered_ts"))
-    val nextWave = CrawlDriver.enqueueRefresh(spark, catalog, refreshEntries, rc)
+    // contract gates: a never-fetched key must be filtered out (its
+    // delete could evict a colliding live fingerprint), and a duplicated
+    // refresh input must dedupe — the retraction delta carries exactly
+    // the seen account-0 keys
+    val hostile = refreshEntries
+      .unionByName(refreshEntries.limit(2)) // duplicates
+      .unionByName(refreshEntries.limit(1)
+        .withColumn("url_hash", lit(987654321L))
+        .withColumn("url", lit("https://never.fetched/x"))) // unseen key
+    val nextWave = CrawlDriver.enqueueRefresh(spark, catalog, hostile, rc)
+    val retractedKeys = catalog.readTable(nextWave, "retracted")
+      .select("url_hash").as[Long].collect().sorted.toSeq
+    assert(retractedKeys === beforeReads.keySet.toSeq.sorted)
     CrawlDriver.run(spark, catalog, idx2, rc.copy(nWaves = nextWave + 1))
 
     val after = ArticleStore.articles(catalog, catalog.latest.get)
@@ -221,6 +233,12 @@ class WaveSpec extends SparkSpec {
       .groupBy("url_hash").count().as[(Long, Long)].collect().toMap
     beforeReads.keySet.foreach(h => assert(fetchCounts(h) === 2L))
     othersBefore.keySet.foreach(h => assert(fetchCounts(h) === 1L))
+    // resuming with a different shard count must be refused (the state's
+    // key space is pmod(url_hash, nShards))
+    intercept[IllegalArgumentException] {
+      CrawlDriver.runWave(spark, catalog, idx2, catalog.latest.get,
+        rc.copy(nWaves = catalog.latest.get + 1, nShards = 7))
+    }
   }
 
   test("frontier drains to empty on a fully-crawlable corpus") {

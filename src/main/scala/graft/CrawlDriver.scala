@@ -115,7 +115,6 @@ object CrawlDriver {
         "frontier" -> r.frontierNext,
         "fetched" -> r.fetched,
         "articles_delta" -> r.articles,
-        "comments_delta" -> r.comments,
         "denied" -> r.denied.select("url_hash", "url", "host"),
         "metrics" -> Wave.metrics(cfg.runId, r.ledger),
         "seen_sketch" -> newShards.toDF()),

@@ -89,35 +89,51 @@ object Extract {
   val CommentsPayloadSchema: StructType =
     StructType(Seq(StructField("elected_comment", CommentSchema)))
 
-  /** pages(url, text, …) [+ wave] → articles rows (FIXTURES.md §5 schema).
-    * Input must be detail pages; rows whose text lacks an article body
-    * extract as empty strings and are filtered out.
+  /** ONE fused extraction pass over detail pages: (url identity struct,
+    * article struct, wave). Articles AND comments both derive from this —
+    * callers that need both should persist it so each page's regex pass
+    * runs exactly once per wave (extraction is the wave's dominant cost;
+    * running it once per consumer doubles the hot path).
     *
     * Uses the fused [[ExtractArticle]] expression (one UTF8String→String
     * conversion per page instead of six) — byte-identical to the
     * composed-built-in path, property-tested in ExtractSpec. */
-  def articles(pages: DataFrame): DataFrame = {
+  def extractRaw(pages: DataFrame): DataFrame = {
     val wave = if (pages.columns.contains("wave")) col("wave") else lit(0)
     pages.select(
       graft.url.UrlParts(col("url")).as("__u"),
       ExtractArticle(col("text")).as("__a"),
       wave.cast(IntegerType).as("wave"))
-      .select(col("__u.url").as("url"), col("__u.url_hash").as("url_hash"),
-        col("__u.biz").as("biz"),
-        col("__a.title").as("title"),
-        col("__a.body").as("body"),
-        timestamp_seconds(col("__a.publish_unix")).as("publish_ts"),
-        col("__a.read_count").as("read_count"),
-        col("__a.like_count").as("like_count"),
-        col("wave"))
-      .filter(col("body") =!= "")
   }
 
-  /** Exploded comments keyed by url_hash (SURVEY.md §3 U6). */
-  def comments(pages: DataFrame): DataFrame = {
-    pages.select(
-      graft.url.UrlParts(col("url")).getField("url_hash").as("url_hash"),
-      posexplode(from_json(ExtractArticle(col("text")).getField("comments_json"),
+  /** [[extractRaw]] output → articles rows (FIXTURES.md §5 schema +
+    * `comments_json`, the raw embedded payload); rows whose text lacks
+    * an article body extract as empty and are dropped.
+    *
+    * Carrying `comments_json` here is the store-raw-once pattern: the
+    * crawl persists ONE extraction pass per page into one table, and
+    * the typed comments view ([[commentsOf]]) parses the (small) JSON
+    * on read — no second regex pass, no second sink. */
+  def articlesFrom(raw: DataFrame): DataFrame =
+    raw.select(col("__u.url").as("url"), col("__u.url_hash").as("url_hash"),
+      col("__u.biz").as("biz"),
+      col("__a.title").as("title"),
+      col("__a.body").as("body"),
+      timestamp_seconds(col("__a.publish_unix")).as("publish_ts"),
+      col("__a.read_count").as("read_count"),
+      col("__a.like_count").as("like_count"),
+      col("__a.comments_json").as("comments_json"),
+      col("wave"))
+      .filter(col("body") =!= "")
+
+  /** pages(url, text, …) [+ wave] → articles rows. */
+  def articles(pages: DataFrame): DataFrame = articlesFrom(extractRaw(pages))
+
+  /** (url_hash, comments_json) → exploded typed comments (U6). */
+  def commentsOf(flat: DataFrame): DataFrame =
+    flat.select(
+      col("url_hash"),
+      posexplode(from_json(col("comments_json"),
         CommentsPayloadSchema).getField("elected_comment")).as(Seq("idx", "c")))
       .select(
         col("url_hash"), col("idx"),
@@ -125,7 +141,14 @@ object Extract {
         col("c.nick_name").as("nick_name"),
         col("c.like_num").as("like_count"),
         timestamp_seconds(col("c.create_time")).as("create_ts"))
-  }
+
+  /** [[extractRaw]] output → exploded comments keyed by url_hash (U6). */
+  def commentsFrom(raw: DataFrame): DataFrame =
+    commentsOf(raw.select(col("__u.url_hash").as("url_hash"),
+      col("__a.comments_json").as("comments_json")))
+
+  /** Exploded comments keyed by url_hash (SURVEY.md §3 U6). */
+  def comments(pages: DataFrame): DataFrame = commentsFrom(extractRaw(pages))
 
   /** List-page discovery: one row per discovered URL.
     *

@@ -34,6 +34,15 @@ object ArticleStore {
         coalesce(col(s"__new_$c"), col(s"__old_$c")).as(c)): _*)
   }
 
+  /** Typed comments view over the merged articles (U6): the crawl
+    * stores ONE extraction product per page (articles + raw
+    * comments_json); this parses the small embedded JSON on read.
+    * Last-write-wins applies to comments too — a re-crawl's payload
+    * replaces the old one. */
+  def comments(catalog: SnapshotCatalog, k: Int): DataFrame =
+    graft.extract.Extract.commentsOf(
+      articles(catalog, k).select(col("url_hash"), col("comments_json")))
+
   /** G1 rollup: per-account crawl progress. */
   def accountStats(catalog: SnapshotCatalog, k: Int): DataFrame =
     articles(catalog, k)

@@ -37,8 +37,10 @@ object Wave {
 
   final case class WaveResult(
       decisions: Dataset[FetchDecision],
+      /** extracted articles INCLUDING the raw comments_json payload —
+        * the one persisted extraction product per wave; typed comments
+        * are a read-view ([[graft.frontier.ArticleStore.comments]]). */
       articles: DataFrame,
-      comments: DataFrame,
       discovered: DataFrame,
       frontierNext: DataFrame,
       /** one row per URL fetched this wave: (wave, priority, url_hash,
@@ -224,8 +226,11 @@ object Wave {
     val listPages = joined.filter(col("kind") === "list")
       .select(col("url"), col("text"), col("wave"))
 
-    val articles = Extract.articles(detailPages)
-    val comments = Extract.comments(detailPages)
+    // extraction runs ONCE per page into ONE product: articles carry the
+    // raw comments_json payload (store-raw-once; comments are a typed
+    // read-view over the committed table). No second regex pass, no
+    // second sink, no multi-GB cache of extracted bodies.
+    val articles = Extract.articlesFrom(Extract.extractRaw(detailPages))
 
     // discovery → frontier entries for wave k+1 with per-account recency
     // priority: lists first (0), details ranked newest-first per biz (W1)
@@ -274,7 +279,7 @@ object Wave {
       .unionByName(asLedger(dups, "duplicate", "seen"))
       .unionByName(asLedger(denied, "denied", "robots"))
 
-    WaveResult(decisions, articles, comments, discovered, frontierNext,
+    WaveResult(decisions, articles, discovered, frontierNext,
       fetchedTbl, denied, ledger,
       cached = Seq(batch, probed, flagged, decisions.toDF(), joined))
   }

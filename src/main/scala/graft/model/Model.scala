@@ -32,6 +32,9 @@ final case class FrontierEntry(
 
 final case class SeenEntry(url_hash: Long, partition_id: Int, wave_added: Int)
 
+/** One extracted article. `comments_json` is the page's raw embedded
+  * comments payload (store-raw-once: the typed comments table is a
+  * parse-on-read view, [[graft.frontier.ArticleStore.comments]]). */
 final case class Article(
     url: String,
     url_hash: Long,
@@ -41,6 +44,7 @@ final case class Article(
     publish_ts: Timestamp,
     read_count: Int,
     like_count: Int,
+    comments_json: String,
     wave: Int)
 
 final case class ArticleComment(

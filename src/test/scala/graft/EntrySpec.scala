@@ -7,7 +7,7 @@ class EntrySpec extends SparkSpec {
   test("flagship entry returns extracted articles (rows > 0, full schema)") {
     val df = SparkEntry.entry(spark)
     assert(df.columns.toSeq === Seq("url", "url_hash", "biz", "title", "body",
-      "publish_ts", "read_count", "like_count", "wave"))
+      "publish_ts", "read_count", "like_count", "comments_json", "wave"))
     val n = df.count()
     assert(n > 0)
   }

@@ -11,10 +11,12 @@ class ArticleStoreSpec extends SparkSpec {
 
   private def art(hash: Long, biz: String, read: Int, wave: Int) =
     (s"https://h/$hash", hash, biz, s"t$hash", s"b$hash",
-      new Timestamp(1704067200000L), read, 0, wave)
+      new Timestamp(1704067200000L), read, 0,
+      s"""{"elected_comment":[{"content":"c$hash-w$wave","nick_name":"n","like_num":$read,"create_time":1704067200}]}""",
+      wave)
 
   private val cols = Seq("url", "url_hash", "biz", "title", "body",
-    "publish_ts", "read_count", "like_count", "wave")
+    "publish_ts", "read_count", "like_count", "comments_json", "wave")
 
   test("merged view is last-write-wins per url_hash across snapshots") {
     val dir = java.nio.file.Files.createTempDirectory("store").toString
@@ -30,6 +32,10 @@ class ArticleStoreSpec extends SparkSpec {
     val stats = ArticleStore.accountStats(c, 1).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stats === Map("A" -> 2L, "B" -> 1L))
+    // comments view is last-write-wins too (parse-on-read over merged)
+    val cm = ArticleStore.comments(c, 1)
+      .select("url_hash", "content").as[(Long, String)].collect().toMap
+    assert(cm === Map(1L -> "c1-w1", 2L -> "c2-w0", 3L -> "c3-w1"))
   }
 
   test("explicit upsert: fresh wins, old survives, new keys appended") {

@@ -29,5 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = driver-only: the heap is the only memory knob. The
   // sandbox has 128 GiB; 48g keeps multi-GB page corpora cached without
   // GC thrash (MEMORY_AND_DISK eviction storms at 8g skewed benches).
+  // Xms = Xmx: lazy heap growth forced extra G1 cycles (measured 4.5s
+  // max pauses during growth vs 1.3s with the heap pre-committed).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 ) ++ sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

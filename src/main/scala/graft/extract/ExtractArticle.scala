@@ -1,7 +1,5 @@
 package graft.extract
 
-import java.util.regex.Pattern
-
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -16,9 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * regexp_extract / get_json_object six times per page; EACH call
   * converts the page's UTF8String to a fresh java.lang.String — ~150 KB
   * of garbage per 25 KB page, which makes extraction GC-bound instead of
-  * CPU-bound at high thread counts. This expression converts ONCE and
-  * runs all precompiled patterns over that one String, returning the full
-  * article struct. Output is byte-identical to the built-in path
+  * CPU-bound at high thread counts. This expression scans the page's
+  * UTF-8 BYTES directly (the grammar's delimiters are ASCII literals,
+  * which never occur inside UTF-8 multi-byte sequences) and returns
+  * zero-copy UTF8String slices — no String conversion, no regex engine
+  * on the hot path. Output is byte-identical to the built-in path
   * (equivalence property-tested + the golden gate).
   *
   * Comments come back as the raw embedded JSON payload; the caller
@@ -46,67 +46,176 @@ case class ExtractArticle(child: Expression)
 
 object ExtractArticle {
 
-  /** Shared eval body — called from interpreted eval AND generated code. */
+  /** Shared eval body — called from interpreted eval AND generated code.
+    *
+    * Byte-level scan over the page's UTF-8 bytes: the grammar's
+    * delimiters are all ASCII literals, and ASCII bytes never occur
+    * inside UTF-8 multi-byte sequences, so plain byte search is exact —
+    * no UTF8String→String conversion (≈60 KB of char[] garbage per
+    * 30 KB page), no regex engine. Outputs are zero-copy
+    * UTF8String.fromBytes slices of the one input copy. Equivalence to
+    * the regex/composed-built-in path is property-tested (ExtractSpec
+    * fused ≡ built-ins + the golden byte-identity gate); the regex
+    * patterns below stay as the executable spec for that test. */
   def evalRow(input: UTF8String): InternalRow = {
-    val s = input.toString
-    def group1(p: Pattern): String = {
-      val m = p.matcher(s)
-      if (m.find()) m.group(1) else ""
+    val b = input.getBytes
+    val n = b.length
+
+    // title: <h2 ...TITLE_LIT...[^>]*> \s* (.*?) </h2>, then 0x20-trim.
+    // Single-scan is faithful to regex backtracking: if the first
+    // literal occurrence has no '>' (or no closing tag) after it, no
+    // later occurrence can have one either.
+    var title: UTF8String = UTF8String.EMPTY_UTF8
+    val tLit = find(b, TitleLit, 0)
+    if (tLit >= 0) {
+      val gt = indexOfByte(b, '>'.toByte, tLit + TitleLit.length)
+      if (gt >= 0) {
+        var s = gt + 1
+        while (s < n && isJavaWs(b(s))) s += 1
+        val close = find(b, H2Close, s)
+        if (close >= 0) {
+          var e = close
+          while (s < e && b(s) == ' ') s += 1
+          while (e > s && b(e - 1) == ' ') e -= 1
+          title = UTF8String.fromBytes(b, s, e - s)
+        }
+      }
     }
-    // Spark's trim strips ONLY 0x20 spaces; String.trim strips all
-    // chars <= 0x20 — must match the composed-built-in path exactly
-    val title = trimSpaces(group1(TitleP))
-    val body = group1(BodyP)
-    val pubM = PublishP.matcher(s)
-    val publish = if (pubM.find()) tryLong(pubM.group(1)) else null
-    val appM = AppMsgP.matcher(s)
+
+    // body: <div id="js_content"[^>]*>(.*?)</div>, UNTRIMMED
+    var body: UTF8String = UTF8String.EMPTY_UTF8
+    val dLit = find(b, BodyLit, 0)
+    if (dLit >= 0) {
+      val gt = indexOfByte(b, '>'.toByte, dLit + BodyLit.length)
+      if (gt >= 0) {
+        val close = find(b, DivClose, gt + 1)
+        if (close >= 0) body = UTF8String.fromBytes(b, gt + 1, close - gt - 1)
+      }
+    }
+
+    // publish: var ct = "(\d+)" — digits must run to the closing quote,
+    // else the regex would retry at the next literal occurrence
+    var publish: java.lang.Long = null
+    var from = 0
+    var searching = true
+    while (searching) {
+      val p = find(b, PublishLit, from)
+      if (p < 0) searching = false
+      else {
+        val ds = p + PublishLit.length
+        var de = ds
+        while (de < n && b(de) >= '0' && b(de) <= '9') de += 1
+        if (de > ds && de < n && b(de) == '"') {
+          publish = parseLongDigits(b, ds, de, negative = false)
+          searching = false
+        } else from = p + 1
+      }
+    }
+
+    // appmsgext snippet → read_num / like_num
     var read: Integer = null
     var like: Integer = null
-    if (appM.find()) {
-      val snippet = appM.group(1)
-      val r = ReadP.matcher(snippet)
-      if (r.find()) read = tryInt(r.group(1))
-      val l = LikeP.matcher(snippet)
-      if (l.find()) like = tryInt(l.group(1))
+    val aLit = find(b, AppMsgLit, 0)
+    if (aLit >= 0) {
+      val start = aLit + AppMsgLit.length
+      val close = find(b, ScriptClose, start)
+      if (close >= 0) {
+        read = jsonIntField(b, start, close, ReadLit)
+        like = jsonIntField(b, start, close, LikeLit)
+      }
     }
-    val cM = CommentsP.matcher(s)
-    val commentsJson = if (cM.find()) UTF8String.fromString(cM.group(1)) else null
-    InternalRow(
-      UTF8String.fromString(title),
-      UTF8String.fromString(body),
-      publish, read, like, commentsJson)
+
+    // comments payload: raw slice between the script literals
+    var commentsJson: UTF8String = null
+    val cLit = find(b, CommentsLit, 0)
+    if (cLit >= 0) {
+      val start = cLit + CommentsLit.length
+      val close = find(b, ScriptClose, start)
+      if (close >= 0) commentsJson = UTF8String.fromBytes(b, start, close - start)
+    }
+
+    InternalRow(title, body, publish, read, like, commentsJson)
   }
 
-  // the same grammar as Extract.TitleRe/BodyRe/… (FIXTURES.md §1),
-  // precompiled once per JVM
-  private val TitleP = Pattern.compile(Extract.TitleRe, Pattern.DOTALL)
-  private val BodyP = Pattern.compile(Extract.BodyRe, Pattern.DOTALL)
-  private val PublishP = Pattern.compile(Extract.PublishRe)
-  private val AppMsgP = Pattern.compile(Extract.AppMsgExtRe, Pattern.DOTALL)
-  private val CommentsP = Pattern.compile(Extract.CommentsRe, Pattern.DOTALL)
-  // within the (small) appmsgext snippet — equivalent to
-  // get_json_object($.appmsgstat.read_num/like_num) on this grammar
-  private val ReadP = Pattern.compile("\"read_num\"\\s*:\\s*(-?\\d+)")
-  private val LikeP = Pattern.compile("\"like_num\"\\s*:\\s*(-?\\d+)")
+  // ---- byte-scan helpers (ASCII literals; exact regex-equivalents) ----
 
-  private def trimSpaces(s: String): String = {
-    var from = 0
-    var to = s.length
-    while (from < to && s.charAt(from) == ' ') from += 1
-    while (to > from && s.charAt(to - 1) == ' ') to -= 1
-    s.substring(from, to)
+  private def lit(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  private val TitleLit = lit("<h2 class=\"rich_media_title\"")
+  private val H2Close = lit("</h2>")
+  private val BodyLit = lit("<div id=\"js_content\"")
+  private val DivClose = lit("</div>")
+  private val PublishLit = lit("var ct = \"")
+  private val AppMsgLit = lit("<script type=\"application/json\" id=\"appmsgext\">")
+  private val CommentsLit = lit("<script type=\"application/json\" id=\"comments\">")
+  private val ScriptClose = lit("</script>")
+  private val ReadLit = lit("\"read_num\"")
+  private val LikeLit = lit("\"like_num\"")
+
+  /** java.util.regex \s = [ \t\n\x0B\f\r] (ASCII only). */
+  private def isJavaWs(c: Byte): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
+
+  private def indexOfByte(b: Array[Byte], target: Byte, from: Int): Int = {
+    var i = math.max(from, 0)
+    while (i < b.length) { if (b(i) == target) return i; i += 1 }
+    -1
   }
 
-  // never-throw numeric parses with the SAME digit bounds as the
-  // composed path's tryNum guard (18/9 digits), so the twins agree
-  private def digits(s: String): Int =
-    if (s.startsWith("-")) s.length - 1 else s.length
-  private def tryLong(s: String): java.lang.Long =
-    if (digits(s) > 18) null
-    else try java.lang.Long.valueOf(s) catch { case _: NumberFormatException => null }
-  private def tryInt(s: String): Integer =
-    if (digits(s) > 9) null
-    else try Integer.valueOf(s) catch { case _: NumberFormatException => null }
+  /** First occurrence of `needle` at or after `from` (naive scan — the
+    * needles are short and occur ~once per page). */
+  private def find(b: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    val last = b.length - needle.length
+    var i = math.max(from, 0)
+    while (i <= last) {
+      var j = 0
+      while (j < needle.length && b(i + j) == needle(j)) j += 1
+      if (j == needle.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** "key"\s*:\s*(-?\d+) within [from, to) — retries subsequent key
+    * occurrences when no digit follows, like regex find() would. */
+  private def jsonIntField(b: Array[Byte], from: Int, to: Int,
+      key: Array[Byte]): Integer = {
+    var pos = from
+    while (pos < to) {
+      val k = find(b, key, pos)
+      if (k < 0 || k + key.length > to) return null
+      var i = k + key.length
+      while (i < to && isJavaWs(b(i))) i += 1
+      if (i < to && b(i) == ':') {
+        i += 1
+        while (i < to && isJavaWs(b(i))) i += 1
+        val neg = i < to && b(i) == '-'
+        if (neg) i += 1
+        var de = i
+        while (de < to && b(de) >= '0' && b(de) <= '9') de += 1
+        if (de > i) {
+          val v = parseLongDigits(b, i, de, neg)
+          // same bound as tryInt: >9 digits → null (still a match)
+          return if (v == null || de - i > 9 ||
+            v.longValue > Int.MaxValue || v.longValue < Int.MinValue) null
+          else Integer.valueOf(v.intValue)
+        }
+      }
+      pos = k + 1
+    }
+    null
+  }
+
+  /** Digits [ds, de) → Long; >18 digits → null (tryLong bound). */
+  private def parseLongDigits(b: Array[Byte], ds: Int, de: Int,
+      negative: Boolean): java.lang.Long = {
+    if (de - ds > 18) return null
+    var v = 0L
+    var i = ds
+    while (i < de) { v = v * 10 + (b(i) - '0'); i += 1 }
+    java.lang.Long.valueOf(if (negative) -v else v)
+  }
 
   val schema: StructType = StructType(Seq(
     StructField("title", StringType),

@@ -65,10 +65,14 @@ object CrawlDriver {
       meta = Map("run_id" -> cfg.runId, "n_shards" -> cfg.nShards.toString))
   }
 
-  /** Exact seen keys at wave k: all fetched url_hashes minus ACTIVE
-    * retractions (retracted at a wave later than their last fetch — a
-    * re-fetch re-seens the key). Retraction sets are refresh-sized
-    * (small) by design, hence broadcast. */
+  /** Exact seen keys at wave k — ONE ROW PER KEY (the confirm join's
+    * contract): all fetched url_hashes minus ACTIVE retractions
+    * (retracted at a wave later than their last fetch — a re-fetch
+    * re-seens the key). Without refreshes the fetched deltas are unique
+    * by never-fetch-twice and pass through with no extra stage; after a
+    * refresh (re-fetched keys appear twice) the branch dedupes.
+    * Retraction sets are refresh-sized (small) by design, hence
+    * broadcast. */
   private[graft] def seenKeys(catalog: SnapshotCatalog, k: Int): DataFrame = {
     val fetched = catalog.readDeltasUpTo(k, "fetched")
     catalog.readDeltasUpToOpt(k, "retracted") match {
@@ -79,7 +83,8 @@ object CrawlDriver {
         val active = rmax.join(fmax, Seq("url_hash"), "left")
           .filter(col("__fw").isNull || col("__rw") > col("__fw"))
           .select("url_hash")
-        fetched.select("url_hash").join(broadcast(active), Seq("url_hash"), "left_anti")
+        fetched.select("url_hash").distinct()
+          .join(broadcast(active), Seq("url_hash"), "left_anti")
     }
   }
 

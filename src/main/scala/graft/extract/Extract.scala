@@ -106,17 +106,9 @@ object Extract {
       wave.cast(IntegerType).as("wave"))
   }
 
-  /** [[extractRaw]] output → articles rows (FIXTURES.md §5 schema +
-    * `comments_json`, the raw embedded payload); rows whose text lacks
-    * an article body extract as empty and are dropped.
-    *
-    * Carrying `comments_json` here is the store-raw-once pattern: the
-    * crawl persists ONE extraction pass per page into one table, and
-    * the typed comments view ([[commentsOf]]) parses the (small) JSON
-    * on read — no second regex pass, no second sink. */
-  def articlesFrom(raw: DataFrame): DataFrame =
-    raw.select(col("__u.url").as("url"), col("__u.url_hash").as("url_hash"),
-      col("__u.biz").as("biz"),
+  private def articleProjection(df: DataFrame, url: Column, hash: Column,
+      biz: Column): DataFrame =
+    df.select(url.as("url"), hash.as("url_hash"), biz.as("biz"),
       col("__a.title").as("title"),
       col("__a.body").as("body"),
       timestamp_seconds(col("__a.publish_unix")).as("publish_ts"),
@@ -126,8 +118,33 @@ object Extract {
       col("wave"))
       .filter(col("body") =!= "")
 
+  /** [[extractRaw]] output → articles rows (FIXTURES.md §5 schema +
+    * `comments_json`, the raw embedded payload); rows whose text lacks
+    * an article body extract as empty and are dropped.
+    *
+    * Carrying `comments_json` here is the store-raw-once pattern: the
+    * crawl persists ONE extraction pass per page into one table, and
+    * the typed comments view ([[commentsOf]]) parses the (small) JSON
+    * on read — no second regex pass, no second sink. */
+  def articlesFrom(raw: DataFrame): DataFrame =
+    articleProjection(raw, col("__u.url"), col("__u.url_hash"), col("__u.biz"))
+
   /** pages(url, text, …) [+ wave] → articles rows. */
   def articles(pages: DataFrame): DataFrame = articlesFrom(extractRaw(pages))
+
+  /** Articles from fetch-join rows that ALREADY carry URL identity
+    * (url, url_hash, biz from the frontier side of the join) — the
+    * crawl's hot path: re-deriving identity with UrlParts would URI-
+    * parse every fetched page a second time for values the frontier
+    * already holds. */
+  def articlesIdentified(pages: DataFrame): DataFrame = {
+    val wave = if (pages.columns.contains("wave")) col("wave") else lit(0)
+    articleProjection(
+      pages.select(col("url"), col("url_hash"), col("biz"),
+        ExtractArticle(col("text")).as("__a"),
+        wave.cast(IntegerType).as("wave")),
+      col("url"), col("url_hash"), col("biz"))
+  }
 
   /** (url_hash, comments_json) → exploded typed comments (U6). */
   def commentsOf(flat: DataFrame): DataFrame =

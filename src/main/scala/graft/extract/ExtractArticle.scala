@@ -48,18 +48,21 @@ object ExtractArticle {
 
   /** Shared eval body — called from interpreted eval AND generated code.
     *
-    * Byte-level scan over the page's UTF-8 bytes: the grammar's
-    * delimiters are all ASCII literals, and ASCII bytes never occur
-    * inside UTF-8 multi-byte sequences, so plain byte search is exact —
-    * no UTF8String→String conversion (≈60 KB of char[] garbage per
-    * 30 KB page), no regex engine. Outputs are zero-copy
-    * UTF8String.fromBytes slices of the one input copy. Equivalence to
-    * the regex/composed-built-in path is property-tested (ExtractSpec
-    * fused ≡ built-ins + the golden byte-identity gate); the regex
-    * patterns below stay as the executable spec for that test. */
+    * ZERO-COPY byte-level scan: the grammar's delimiters are all ASCII
+    * literals, and ASCII bytes never occur inside UTF-8 multi-byte
+    * sequences, so scanning the UTF8String's bytes in place (getByte)
+    * is exact — no String conversion, no regex engine, not even a byte[]
+    * copy of the page (at 210k × 30 KB pages per wave that copy alone
+    * was 6 GB of young-gen garbage; GC was 23% of task time). Outputs
+    * are fromAddress VIEWS into the input buffer — safe under Spark's
+    * operator contract (projections/buffering aggregates copy values
+    * eagerly per row, the same contract UnsafeRow.getUTF8String views
+    * rely on). Equivalence to the regex/composed-built-in path is
+    * property-tested (ExtractSpec fused ≡ built-ins + the golden
+    * byte-identity gate). */
   def evalRow(input: UTF8String): InternalRow = {
-    val b = input.getBytes
-    val n = b.length
+    val b = input
+    val n = b.numBytes
 
     // title: <h2 ...TITLE_LIT...[^>]*> \s* (.*?) </h2>, then 0x20-trim.
     // Single-scan is faithful to regex backtracking: if the first
@@ -71,13 +74,13 @@ object ExtractArticle {
       val gt = indexOfByte(b, '>'.toByte, tLit + TitleLit.length)
       if (gt >= 0) {
         var s = gt + 1
-        while (s < n && isJavaWs(b(s))) s += 1
+        while (s < n && isJavaWs(b.getByte(s))) s += 1
         val close = find(b, H2Close, s)
         if (close >= 0) {
           var e = close
-          while (s < e && b(s) == ' ') s += 1
-          while (e > s && b(e - 1) == ' ') e -= 1
-          title = UTF8String.fromBytes(b, s, e - s)
+          while (s < e && b.getByte(s) == ' ') s += 1
+          while (e > s && b.getByte(e - 1) == ' ') e -= 1
+          title = slice(b, s, e)
         }
       }
     }
@@ -89,7 +92,7 @@ object ExtractArticle {
       val gt = indexOfByte(b, '>'.toByte, dLit + BodyLit.length)
       if (gt >= 0) {
         val close = find(b, DivClose, gt + 1)
-        if (close >= 0) body = UTF8String.fromBytes(b, gt + 1, close - gt - 1)
+        if (close >= 0) body = slice(b, gt + 1, close)
       }
     }
 
@@ -104,8 +107,8 @@ object ExtractArticle {
       else {
         val ds = p + PublishLit.length
         var de = ds
-        while (de < n && b(de) >= '0' && b(de) <= '9') de += 1
-        if (de > ds && de < n && b(de) == '"') {
+        while (de < n && b.getByte(de) >= '0' && b.getByte(de) <= '9') de += 1
+        if (de > ds && de < n && b.getByte(de) == '"') {
           publish = parseLongDigits(b, ds, de, negative = false)
           searching = false
         } else from = p + 1
@@ -131,7 +134,7 @@ object ExtractArticle {
     if (cLit >= 0) {
       val start = cLit + CommentsLit.length
       val close = find(b, ScriptClose, start)
-      if (close >= 0) commentsJson = UTF8String.fromBytes(b, start, close - start)
+      if (close >= 0) commentsJson = slice(b, start, close)
     }
 
     InternalRow(title, body, publish, read, like, commentsJson)
@@ -157,21 +160,30 @@ object ExtractArticle {
   private def isJavaWs(c: Byte): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
 
-  private def indexOfByte(b: Array[Byte], target: Byte, from: Int): Int = {
+  /** Zero-copy view of b's bytes [from, until). Safe under Spark's
+    * eager-copy operator contract (see evalRow doc). */
+  private def slice(b: UTF8String, from: Int, until: Int): UTF8String =
+    UTF8String.fromAddress(b.getBaseObject, b.getBaseOffset + from, until - from)
+
+  private def indexOfByte(b: UTF8String, target: Byte, from: Int): Int = {
+    val n = b.numBytes
     var i = math.max(from, 0)
-    while (i < b.length) { if (b(i) == target) return i; i += 1 }
+    while (i < n) { if (b.getByte(i) == target) return i; i += 1 }
     -1
   }
 
   /** First occurrence of `needle` at or after `from` (naive scan — the
     * needles are short and occur ~once per page). */
-  private def find(b: Array[Byte], needle: Array[Byte], from: Int): Int = {
-    val last = b.length - needle.length
+  private def find(b: UTF8String, needle: Array[Byte], from: Int): Int = {
+    val last = b.numBytes - needle.length
+    val first = needle(0)
     var i = math.max(from, 0)
     while (i <= last) {
-      var j = 0
-      while (j < needle.length && b(i + j) == needle(j)) j += 1
-      if (j == needle.length) return i
+      if (b.getByte(i) == first) {
+        var j = 1
+        while (j < needle.length && b.getByte(i + j) == needle(j)) j += 1
+        if (j == needle.length) return i
+      }
       i += 1
     }
     -1
@@ -179,21 +191,21 @@ object ExtractArticle {
 
   /** "key"\s*:\s*(-?\d+) within [from, to) — retries subsequent key
     * occurrences when no digit follows, like regex find() would. */
-  private def jsonIntField(b: Array[Byte], from: Int, to: Int,
+  private def jsonIntField(b: UTF8String, from: Int, to: Int,
       key: Array[Byte]): Integer = {
     var pos = from
     while (pos < to) {
       val k = find(b, key, pos)
       if (k < 0 || k + key.length > to) return null
       var i = k + key.length
-      while (i < to && isJavaWs(b(i))) i += 1
-      if (i < to && b(i) == ':') {
+      while (i < to && isJavaWs(b.getByte(i))) i += 1
+      if (i < to && b.getByte(i) == ':') {
         i += 1
-        while (i < to && isJavaWs(b(i))) i += 1
-        val neg = i < to && b(i) == '-'
+        while (i < to && isJavaWs(b.getByte(i))) i += 1
+        val neg = i < to && b.getByte(i) == '-'
         if (neg) i += 1
         var de = i
-        while (de < to && b(de) >= '0' && b(de) <= '9') de += 1
+        while (de < to && b.getByte(de) >= '0' && b.getByte(de) <= '9') de += 1
         if (de > i) {
           val v = parseLongDigits(b, i, de, neg)
           // same bound as tryInt: >9 digits → null (still a match)
@@ -208,12 +220,12 @@ object ExtractArticle {
   }
 
   /** Digits [ds, de) → Long; >18 digits → null (tryLong bound). */
-  private def parseLongDigits(b: Array[Byte], ds: Int, de: Int,
+  private def parseLongDigits(b: UTF8String, ds: Int, de: Int,
       negative: Boolean): java.lang.Long = {
     if (de - ds > 18) return null
     var v = 0L
     var i = ds
-    while (i < de) { v = v * 10 + (b(i) - '0'); i += 1 }
+    while (i < de) { v = v * 10 + (b.getByte(i) - '0'); i += 1 }
     java.lang.Long.valueOf(if (negative) -v else v)
   }
 

@@ -4,7 +4,7 @@ import graft.extract.Extract
 import graft.model._
 import graft.seen.{ShardedSeen, SketchShard}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -212,25 +212,29 @@ object Wave {
     val toFetch = decisions.filter(col("fetched")).toDF()
 
     // J1 fetch-simulate: equi-join on url_hash against the canonical page
-    // index. At cluster scale both sides are bucketed by url_hash so this
-    // is a shuffle-free SMJ; locally AQE picks (frontier side is ≤ the
-    // per-wave token budget, typically broadcastable).
-    // Persisted: articles, comments, and discovery all read it — without
-    // the cache the join + page scan would run three times per wave.
-    val joined = toFetch.join(pagesIdx.select(col("url_hash"), col("text")),
-      Seq("url_hash"), "inner")
-      .persist(DISK)
-
-    val detailPages = joined.filter(col("kind") === "detail")
-      .select(col("url"), col("text"), col("wave"))
-    val listPages = joined.filter(col("kind") === "list")
+    // index, SPLIT per consumer — detail pages feed exactly one plan
+    // (articles) and list pages exactly one (discovery), so neither join
+    // output needs caching (a cache of the joined page text costs a
+    // multi-GB columnar write + re-read per wave; two map-side joins over
+    // the already-cached page index move fewer bytes). At cluster scale
+    // both sides are bucketed by url_hash → shuffle-free SMJ; locally the
+    // frontier slice broadcasts (≤ the per-wave token budget).
+    // kind-filtered index scans: the cached page index is clustered by
+    // kind, so each side's scan batch-prunes the other side's text
+    def pageText(kind: String) =
+      pagesIdx.filter(col("kind") === kind).select(col("url_hash"), col("text"))
+    val detailJoined = toFetch.filter(col("kind") === "detail")
+      .join(pageText("detail"), Seq("url_hash"), "inner")
+    val listPages = toFetch.filter(col("kind") === "list")
+      .join(pageText("list"), Seq("url_hash"), "inner")
       .select(col("url"), col("text"), col("wave"))
 
     // extraction runs ONCE per page into ONE product: articles carry the
     // raw comments_json payload (store-raw-once; comments are a typed
-    // read-view over the committed table). No second regex pass, no
-    // second sink, no multi-GB cache of extracted bodies.
-    val articles = Extract.articlesFrom(Extract.extractRaw(detailPages))
+    // read-view over the committed table) and URL identity comes from
+    // the frontier side of the join — no UrlParts re-parse, no second
+    // regex pass, no second sink, no cache of extracted bodies.
+    val articles = Extract.articlesIdentified(detailJoined)
 
     // discovery → frontier entries for wave k+1 with per-account recency
     // priority: lists first (0), details ranked newest-first per biz (W1)
@@ -281,17 +285,29 @@ object Wave {
 
     WaveResult(decisions, articles, discovered, frontierNext,
       fetchedTbl, denied, ledger,
-      cached = Seq(batch, probed, flagged, decisions.toDF(), joined))
+      cached = Seq(batch, probed, flagged, decisions.toDF()))
   }
+
+  /** P1 endpoint classifier: list endpoints (paginated msg feeds) vs
+    * detail pages, derived from the URL grammar — the same rule
+    * discovery uses to assign frontier `kind`, so the two sides of the
+    * fetch join agree by construction. */
+  def kindOfUrl(url: Column): Column =
+    when(url.contains("/mp/profile_ext"), lit("list")).otherwise(lit("detail"))
 
   /** Canonical page index for the fetch join: url re-keyed to canonical
     * form, html column NEVER read (column pruning — the fat column stays
-    * on disk; SURVEY.md §5). Requires one version per canonical URL —
-    * use [[pageIndexLatest]] for multi-snapshot corpora. */
+    * on disk; SURVEY.md §5). Rows are CLUSTERED by endpoint kind so a
+    * kind-filtered scan of the cached index prunes whole column batches
+    * via batch stats — the list-page join (≈7% of rows) stops paying a
+    * full materialization of every detail page's text (the wave's single
+    * biggest byte mover). Requires one version per canonical URL — use
+    * [[pageIndexLatest]] for multi-snapshot corpora. */
   def pageIndex(pages: DataFrame): DataFrame =
     pages.select(graft.url.UrlParts(col("url")).as("__u"), col("text"))
       .select(col("__u.url_hash").as("url_hash"), col("__u.url").as("url"),
-        col("text"))
+        kindOfUrl(col("__u.url")).as("kind"), col("text"))
+      .sortWithinPartitions(col("kind"))
 
   /** Page index over a multi-snapshot corpus (Common-Crawl-style: the
     * same URL captured at several warc_ts): latest capture wins. One
@@ -301,10 +317,11 @@ object Wave {
     val w = Window.partitionBy(col("url_hash")).orderBy(col("warc_ts").desc)
     pages.select(graft.url.UrlParts(col("url")).as("__u"), col("warc_ts"), col("text"))
       .select(col("__u.url_hash").as("url_hash"), col("__u.url").as("url"),
-        col("warc_ts"), col("text"))
+        kindOfUrl(col("__u.url")).as("kind"), col("warc_ts"), col("text"))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "warc_ts")
+      .sortWithinPartitions(col("kind"))
   }
 
   /** G4 per-partition metrics rollup from the wave's ledger, keyed by

@@ -125,14 +125,17 @@ object ShardedSeen {
 
   /** Stage 2: turn `__maybe` into `__dup` (true = already seen) by
     * confirming sketch-positive rows against the exact seen table — the
-    * exact join only ever sees the maybe-slice. `seenExact` may contain
-    * duplicate url_hashes (re-crawled keys). */
+    * exact join only ever sees the maybe-slice. `seenExact` MUST hold
+    * one row per url_hash (a dup would multiply frontier rows through
+    * the left join): the crawl's seen view is unique by construction —
+    * never-fetch-twice — and [[graft.CrawlDriver.seenKeys]] dedupes the
+    * (small) re-crawl branch explicitly. */
   def confirmFlag(probed: DataFrame, seenExact: DataFrame): DataFrame = {
     val definitelyNew = probed.filter(!col("__maybe")).withColumn("__dup", lit(false))
     // shuffle_hash, not broadcast: the seen table is the BIG side at
     // scale (bucketed SMJ on a cluster)
     val confirmed = probed.filter(col("__maybe"))
-      .join(seenExact.select(col("url_hash")).distinct()
+      .join(seenExact.select(col("url_hash"))
           .withColumn("__dup", lit(true)).hint("shuffle_hash"),
         Seq("url_hash"), "left")
       .withColumn("__dup", coalesce(col("__dup"), lit(false)))

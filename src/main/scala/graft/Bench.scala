@@ -31,7 +31,7 @@ object Bench {
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // the per-wave frontier slice is always tiny next to the pages
       // table: broadcast it instead of shuffling the whole page index
       // to disk (at cluster scale the same join is a bucketed SMJ)

@@ -95,15 +95,18 @@ object CrawlDriver {
       catalog: SnapshotCatalog,
       pagesIdx: DataFrame,
       k: Int,
-      cfg: RunConfig): (Long, Long, Long) = {
+      cfg: RunConfig,
+      /** snapshot-0 constants — pass from [[run]] so the per-wave driver
+        * path doesn't re-open their parquet footers every wave. */
+      constants: Option[(DataFrame, DataFrame)] = None): (Long, Long, Long) = {
     import spark.implicits._
     val t0 = System.nanoTime()
     requireShardConfig(catalog, cfg)
     val frontier = catalog.readTable(k, "frontier")
     val seenExact = seenKeys(catalog, k)
     val shards = catalog.readTable(k, "seen_sketch").as[SketchShard]
-    val robots = catalog.readTable(0, "robots")
-    val budgets = catalog.readTable(0, "budgets")
+    val (robots, budgets) = constants.getOrElse(
+      (catalog.readTable(0, "robots"), catalog.readTable(0, "budgets")))
 
     val r = Wave.run(spark, k, frontier, seenExact, shards, cfg.nShards,
       robots, budgets, pagesIdx, cfg.waveCfg)
@@ -140,11 +143,13 @@ object CrawlDriver {
       cfg: RunConfig): Seq[(Int, Long, Long)] = {
     val start = catalog.latest.getOrElse(
       sys.error("catalog not initialized — call init() first"))
+    val constants = Some(
+      (catalog.readTable(0, "robots"), catalog.readTable(0, "budgets")))
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
     var k = start
     var frontierRows = -1L
     while (k < cfg.nWaves && frontierRows != 0L) {
-      val (f, e, next) = runWave(spark, catalog, pagesIdx, k, cfg)
+      val (f, e, next) = runWave(spark, catalog, pagesIdx, k, cfg, constants)
       out += ((k, f, e))
       frontierRows = next
       k += 1

@@ -194,16 +194,20 @@ object Wave {
     import spark.implicits._
     val DISK = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
-    // persist the shared upstreams once: every branch below (writes,
-    // metrics, discovery) reuses them instead of re-running the gate +
-    // dedupe lineage — at scale each recompute is a full frontier scan.
-    // Lazy persists: the commit's concurrent write jobs materialize them
-    // (Spark's block-level cache locking dedupes concurrent computes).
-    val batch = dedupeInBatch(frontier).persist(DISK)
-    val (allowed, denied) = robotsGate(batch, robots)
-    // seen filter: shard-aligned sketch probe (no broadcast state), then
-    // exact-confirm of the maybe-slice only
-    val probed = ShardedSeen.probeShards(allowed, shards, nShards).persist(DISK)
+    // robots gate first (broadcast + filter — no shuffle, stays inside
+    // the frontier scan stage). Gate-vs-dedupe order is immaterial:
+    // duplicates share a canonical url, hence a robots verdict.
+    val (allowed, denied) = robotsGate(frontier, robots)
+    // ONE cogroup fuses first-wins in-batch dedupe (W3) with the shard-
+    // aligned sketch probe (no broadcast state) — the wave's critical
+    // path pays a single frontier shuffle before budget enforcement.
+    // Persisted lazily: the commit's concurrent write jobs materialize
+    // the caches (block-level cache locking dedupes concurrent computes).
+    val aSchema = allowed.schema // the gate's join may reorder columns
+    val probed = ShardedSeen.probeDedupe(allowed, shards, nShards,
+      prioIdx = aSchema.fieldIndex("priority"),
+      kindIdx = aSchema.fieldIndex("kind"),
+      urlIdx = aSchema.fieldIndex("url")).persist(DISK)
     val flagged = ShardedSeen.confirmFlag(probed, seenExact).persist(DISK)
     val fresh = flagged.filter(!col("__dup")).drop("__dup")
     val dups = flagged.filter(col("__dup")).drop("__dup")
@@ -285,7 +289,7 @@ object Wave {
 
     WaveResult(decisions, articles, discovered, frontierNext,
       fetchedTbl, denied, ledger,
-      cached = Seq(batch, probed, flagged, decisions.toDF()))
+      cached = Seq(probed, flagged, decisions.toDF()))
   }
 
   /** P1 endpoint classifier: list endpoints (paginated msg feeds) vs

@@ -123,6 +123,48 @@ object ShardedSeen {
       }(outEnc)
   }
 
+  /** [[probeShards]] FUSED with first-wins in-batch dedupe (W3): both
+    * key on url_hash (a url_hash's duplicates land in one shard), so one
+    * cogroup replaces the window-shuffle + probe-shuffle pair — one less
+    * barrier on every wave's critical path. Winner per url_hash is the
+    * (priority, kind, url) minimum, exactly [[graft.frontier.Wave
+    * .dedupeInBatch]]'s ordering. Buffers one shard's frontier slice per
+    * task (wave/nShards rows — pick nShards so that fits, same bound as
+    * the sketch update). */
+  def probeDedupe(
+      frontier: DataFrame,
+      shards: Dataset[SketchShard],
+      nShards: Int,
+      prioIdx: Int,
+      kindIdx: Int,
+      urlIdx: Int): DataFrame = {
+    val spark = frontier.sparkSession
+    import spark.implicits._
+    val hashIdx = frontier.schema.fieldIndex("url_hash")
+    val outEnc = Encoders.row(frontier.schema.add("__maybe", BooleanType))
+    implicit val rowOrd: Ordering[org.apache.spark.sql.Row] =
+      Ordering.by(r => (r.getLong(hashIdx), r.getLong(prioIdx),
+        r.getString(kindIdx), r.getString(urlIdx)))
+    frontier
+      .groupByKey(r => shardOf(r.getLong(hashIdx), nShards))
+      .cogroup(shards.groupByKey(_.shard)) { (_, rows, sks) =>
+        val sketch = sks.map(s => ShardSketch.deserialize(s.bytes))
+          .reduceOption(_.merge(_))
+        val sorted = rows.toArray.sorted
+        var lastHash = 0L
+        var first = true
+        sorted.iterator.filter { r =>
+          val h = r.getLong(hashIdx)
+          val keep = first || h != lastHash
+          lastHash = h; first = false
+          keep
+        }.map { r =>
+          val maybe = sketch.exists(_.mightContain(r.getLong(hashIdx)))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)
+        }
+      }(outEnc)
+  }
+
   /** Stage 2: turn `__maybe` into `__dup` (true = already seen) by
     * confirming sketch-positive rows against the exact seen table — the
     * exact join only ever sees the maybe-slice. `seenExact` MUST hold

@@ -32,6 +32,9 @@ object BenchProbe {
     val cpuNs = new AtomicLong; val tasks = new AtomicInteger
     val deserMs = new AtomicLong; val shuffleFetchMs = new AtomicLong
     val shuffleWriteMs = new AtomicLong
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t00 = System.nanoTime()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
@@ -44,6 +47,12 @@ object BenchProbe {
           shuffleWriteMs.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
           tasks.incrementAndGet()
         }
+      }
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobStarts.put(e.jobId, System.nanoTime())
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val s = Option(jobStarts.get(e.jobId)).getOrElse(System.nanoTime())
+        jobLog.add(f"job=${e.jobId}%3d at=${(s - t00) / 1e9}%7.2fs dur=${(System.nanoTime() - s) / 1e9}%6.2fs")
       }
     })
 
@@ -84,6 +93,11 @@ object BenchProbe {
         f"deser=${deserMs.get / 1000.0}%.1fs fetchWait=${shuffleFetchMs.get / 1000.0}%.1fs " +
         f"shufWrite=${shuffleWriteMs.get / 1000.0}%.1fs " +
         f"coreUtil=${busyS / cores / wallS * 100}%.0f%% tasks=${tasks.get}")
+      if (sys.env.contains("GRAFT_PROBE_JOBS")) {
+        import scala.jdk.CollectionConverters._
+        jobLog.asScala.toSeq.sorted.foreach(l => println(s"[probe-job] $l"))
+        jobLog.clear()
+      }
     }
     spark.stop()
   }

@@ -111,6 +111,15 @@ object CrawlDriver {
     val r = Wave.run(spark, k, frontier, seenExact, shards, cfg.nShards,
       robots, budgets, pagesIdx, cfg.waveCfg)
 
+    // materialize the shared prep chain (probe → confirm → decisions
+    // caches) with ONE pass before the concurrent writes: six write jobs
+    // racing on uncomputed cache blocks queue behind each other's
+    // partition locks — measured as threads idling in lock waits, a
+    // non-scaling cost. One warm-up job makes the write phase
+    // contention-free. (isEmpty touches one partition; count() scans all
+    // — we need all blocks cached, so count.)
+    r.decisions.count()
+
     // shard update is itself a lazy plan — materialized by its commit
     // write job like every other table (executor-side build + merge)
     val noDeletes = spark.range(0).select(col("id").as("url_hash"))

@@ -88,8 +88,45 @@ object CrawlDriver {
     }
   }
 
-  /** Run wave k (reading snapshot k, committing snapshot k+1).
-    * Returns (fetched, extracted, frontierNext) counts. */
+  /** Wave k's output plans + the updated shard table — pure plan
+    * construction over snapshot k (no actions). */
+  private def prepareWave(
+      spark: SparkSession,
+      catalog: SnapshotCatalog,
+      pagesIdx: DataFrame,
+      k: Int,
+      cfg: RunConfig,
+      constants: Option[(DataFrame, DataFrame)]): (Wave.WaveResult, DataFrame) = {
+    import spark.implicits._
+    val frontier = catalog.readTable(k, "frontier")
+    val seenExact = seenKeys(catalog, k)
+    val shards = catalog.readTable(k, "seen_sketch").as[SketchShard]
+    val (robots, budgets) = constants.getOrElse(
+      (catalog.readTable(0, "robots"), catalog.readTable(0, "budgets")))
+    val r = Wave.run(spark, k, frontier, seenExact, shards, cfg.nShards,
+      robots, budgets, pagesIdx, cfg.waveCfg)
+    // shard update is itself a lazy plan — materialized by its commit
+    // write job like every other table (executor-side build + merge)
+    val noDeletes = spark.range(0).select(col("id").as("url_hash"))
+    val newShards = ShardedSeen.updatedShards(shards,
+      r.fetched.select("url_hash"), noDeletes, cfg.seenCapacity, cfg.nShards)
+    (r, newShards.toDF())
+  }
+
+  private def waveTables(r: Wave.WaveResult, newShards: DataFrame, cfg: RunConfig)
+      : (Map[String, DataFrame], Map[String, DataFrame]) = (
+    Map( // loop-critical: what wave k+1 reads
+      "frontier" -> r.frontierNext,
+      "fetched" -> r.fetched,
+      "seen_sketch" -> newShards),
+    Map( // bulk outputs: nothing downstream in the loop reads these
+      "articles_delta" -> r.articles,
+      "denied" -> r.denied.select("url_hash", "url", "host"),
+      "metrics" -> Wave.metrics(cfg.runId, r.ledger)))
+
+  /** Run wave k (reading snapshot k, committing snapshot k+1),
+    * synchronously. Returns (fetched, extracted, frontierNext) counts.
+    * The resumable loop ([[run]]) uses the pipelined path instead. */
   def runWave(
       spark: SparkSession,
       catalog: SnapshotCatalog,
@@ -99,44 +136,19 @@ object CrawlDriver {
       /** snapshot-0 constants — pass from [[run]] so the per-wave driver
         * path doesn't re-open their parquet footers every wave. */
       constants: Option[(DataFrame, DataFrame)] = None): (Long, Long, Long) = {
-    import spark.implicits._
     val t0 = System.nanoTime()
     requireShardConfig(catalog, cfg)
-    val frontier = catalog.readTable(k, "frontier")
-    val seenExact = seenKeys(catalog, k)
-    val shards = catalog.readTable(k, "seen_sketch").as[SketchShard]
-    val (robots, budgets) = constants.getOrElse(
-      (catalog.readTable(0, "robots"), catalog.readTable(0, "budgets")))
-
-    val r = Wave.run(spark, k, frontier, seenExact, shards, cfg.nShards,
-      robots, budgets, pagesIdx, cfg.waveCfg)
-
-    // materialize the shared prep chain (probe → confirm → decisions
-    // caches) with ONE pass before the concurrent writes: six write jobs
-    // racing on uncomputed cache blocks queue behind each other's
-    // partition locks — measured as threads idling in lock waits, a
-    // non-scaling cost. One warm-up job makes the write phase
-    // contention-free. (isEmpty touches one partition; count() scans all
-    // — we need all blocks cached, so count.)
-    r.decisions.count()
-
-    // shard update is itself a lazy plan — materialized by its commit
-    // write job like every other table (executor-side build + merge)
-    val noDeletes = spark.range(0).select(col("id").as("url_hash"))
-    val newShards = ShardedSeen.updatedShards(shards,
-      r.fetched.select("url_hash"), noDeletes, cfg.seenCapacity, cfg.nShards)
-
+    val (r, newShards) = prepareWave(spark, catalog, pagesIdx, k, cfg, constants)
     val planMs = (System.nanoTime() - t0) / 1000000L
-    val counts = catalog.commit(k + 1, wave = k,
-      tables = Map(
-        "frontier" -> r.frontierNext,
-        "fetched" -> r.fetched,
-        "articles_delta" -> r.articles,
-        "denied" -> r.denied.select("url_hash", "url", "host"),
-        "metrics" -> Wave.metrics(cfg.runId, r.ledger),
-        "seen_sketch" -> newShards.toDF()),
-      meta = Map("run_id" -> cfg.runId, "plan_ms" -> planMs.toString))
-
+    // `fetched` is written FIRST and alone (commit warmFirst): its scan
+    // of the decision chain materializes the probe → confirm → decisions
+    // caches in one pass, so the five concurrent writes that follow read
+    // warm cache blocks instead of racing on uncomputed-partition locks.
+    // A useful write doubles as the warm-up — no standalone count job.
+    val (loop, bulk) = waveTables(r, newShards, cfg)
+    val counts = catalog.commit(k + 1, wave = k, tables = loop ++ bulk,
+      meta = Map("run_id" -> cfg.runId, "plan_ms" -> planMs.toString),
+      warmFirst = Some("fetched"))
     val fetched = counts("fetched")
     val extracted = counts("articles_delta")
     r.cached.foreach(_.unpersist())
@@ -146,24 +158,66 @@ object CrawlDriver {
     (fetched, extracted, counts("frontier"))
   }
 
-  /** Resume-aware loop: picks up from the latest committed snapshot and
-    * stops early when the frontier drains. */
+  /** Resume-aware PIPELINED loop: picks up from the latest committed
+    * snapshot and stops early when the frontier drains.
+    *
+    * Pipelining (what buys the N→4N efficiency): wave k+1 only reads
+    * snapshot k+1's loop tables (frontier / fetched / seen_sketch), so
+    * as soon as those are durable (`commitAsync`'s `ready`) the next
+    * wave's plan construction and cache warm-up run CONCURRENTLY with
+    * the same snapshot's bulk writes (articles_delta — the wave's
+    * largest output — plus metrics/denied) — the driver's per-wave
+    * serial floor (plan build + stage barriers in the probe chain) is
+    * hidden under executor work instead of extending the wall. Commit
+    * ordering is preserved: snapshot k+1's manifest lands before
+    * snapshot k+2's writes begin, and a kill anywhere replays from the
+    * last manifest with identical results. */
   def run(spark: SparkSession, catalog: SnapshotCatalog, pagesIdx: DataFrame,
       cfg: RunConfig): Seq[(Int, Long, Long)] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
     val start = catalog.latest.getOrElse(
       sys.error("catalog not initialized — call init() first"))
+    requireShardConfig(catalog, cfg)
     val constants = Some(
       (catalog.readTable(0, "robots"), catalog.readTable(0, "budgets")))
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Future[Long])]
+    var pendingDone: Future[Map[String, Long]] = Future.successful(Map.empty)
+    var pendingCached: Seq[DataFrame] = Nil
     var k = start
     var frontierRows = -1L
     while (k < cfg.nWaves && frontierRows != 0L) {
-      val (f, e, next) = runWave(spark, catalog, pagesIdx, k, cfg, constants)
-      out += ((k, f, e))
-      frontierRows = next
+      val t0 = System.nanoTime()
+      // plans + chain warm-up — overlaps the PREVIOUS commit's bulk phase
+      val (r, newShards) = prepareWave(spark, catalog, pagesIdx, k, cfg, constants)
+      val planMs = (System.nanoTime() - t0) / 1000000L
+      spark.sparkContext.setJobDescription(s"wave-$k/chain-warm")
+      r.decisions.count()
+      spark.sparkContext.setJobDescription(null)
+      // snapshot k fully committed (manifest down) before k+1 writes start
+      Await.result(pendingDone, Duration.Inf)
+      pendingCached.foreach(_.unpersist())
+      val (loop, bulk) = waveTables(r, newShards, cfg)
+      val (ready, done) = catalog.commitAsync(k + 1, wave = k,
+        loopTables = loop, bulkTables = bulk,
+        meta = Map("run_id" -> cfg.runId, "plan_ms" -> planMs.toString))
+      val loopCounts = Await.result(ready, Duration.Inf)
+      val fetched = loopCounts("fetched")
+      frontierRows = loopCounts("frontier")
+      pendingDone = done
+      pendingCached = r.cached
+      import scala.concurrent.ExecutionContext.Implicits.global
+      out += ((k, fetched, done.map(_("articles_delta"))))
+      val totalMs = (System.nanoTime() - t0) / 1000000L
+      System.err.println(s"[wave $k] wall=${totalMs}ms (plan=${planMs}ms) " +
+        s"fetched=$fetched frontier_next=$frontierRows")
       k += 1
     }
-    out.toSeq
+    Await.result(pendingDone, Duration.Inf)
+    pendingCached.foreach(_.unpersist())
+    out.toSeq.map { case (w, f, eF) =>
+      (w, f, Await.result(eF, Duration.Inf))
+    }
   }
 
   /** Re-crawl: retract `refresh` URLs (FrontierEntry-shaped rows) from

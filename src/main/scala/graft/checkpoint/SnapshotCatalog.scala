@@ -15,11 +15,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * manifest recording (snapshot_id, parent_id, wave, per-table file list
   * + row counts) — per-partition lineage as mandated by BASELINE.json.
   *
-  * Commit protocol: everything is written into `tmp-<n>/`, the manifest
-  * last, then the directory is atomically renamed to `snapshots/<n>/`.
-  * A killed run leaves at most a `tmp-*` turd; [[latest]] only ever sees
-  * fully-committed snapshots, so resume replays from the last complete
-  * wave with identical ordering.
+  * Commit protocol: tables are written in place under `snapshots/<n>/`,
+  * then `manifest.json` is moved in ATOMICALLY as the commit marker —
+  * [[latest]] only counts directories that carry a manifest, so a killed
+  * run leaves at most an invisible manifest-less turd (cleaned on the
+  * next commit of the same id) and resume replays from the last COMPLETE
+  * wave with identical ordering. Manifest-last-in-place (the Iceberg
+  * pattern: data files first, metadata pointer swap last) keeps paths
+  * stable while a commit is in flight, which is what lets the crawl loop
+  * pipeline: wave k+1 may read the already-durable loop tables of
+  * snapshot k+1 while the same snapshot's bulk outputs are still being
+  * written (see [[commitAsync]]) — a resume would replay wave k and
+  * rewrite identical content, so the early read changes nothing.
   *
   * Kept behind this small class so a real Iceberg catalog can be dropped
   * in outside the sandbox without touching the pipeline.
@@ -47,70 +54,134 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
-  /** Atomically commit snapshot `id`: tables → parquet, manifest last,
-    * then rename. Returns per-table row counts. */
+  /** Atomically commit snapshot `id`: tables → parquet in place, then
+    * the manifest moved in last as the commit marker. Returns per-table
+    * row counts (exact, from the committed parquet footers —
+    * accumulator-free, so task retries or speculative execution can
+    * never inflate them).
+    *
+    * `warmFirst` names a table whose write job is run ALONE before the
+    * rest: a write that scans the wave's shared cache chain materializes
+    * every cache block in one pass, so the remaining writes read warm
+    * blocks instead of racing on uncomputed-partition locks (measured as
+    * tasks idling in lock waits). */
   def commit(
       id: Int,
       wave: Int,
       tables: Map[String, DataFrame],
-      meta: Map[String, String] = Map.empty): Map[String, Long] = {
-    require(latest.forall(_ < id), s"snapshot $id already committed")
-    val tmp = root.resolve(s"tmp-$id")
-    deleteRecursively(tmp)
-    Files.createDirectories(tmp)
-
-    // tables are independent → write them as CONCURRENT Spark jobs
-    // (driver-side futures); the scheduler interleaves their stages, so
-    // commit wall ≈ the largest table, not the sum of 2×N job latencies
-    import scala.concurrent.{Await, Future}
+      meta: Map[String, String] = Map.empty,
+      warmFirst: Option[String] = None): Map[String, Long] = {
+    import scala.concurrent.Await
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val written = Await.result(
-      Future.traverse(tables.toSeq.sortBy(_._1)) { case (name, df) =>
-        Future {
-          val dir = tmp.resolve(name)
-          // observe() piggybacks the row count onto the write job itself —
-          // never re-read what was just written. Caveat for cluster runs:
-          // CollectMetrics accumulators can over-report under speculative
-          // execution / stage retries; exact here (local, no speculation)
-          // and consumers only test counts for == 0 (drain) where
-          // inflation is harmless. A cluster deployment would source
-          // counts from the committer's write-task stats instead.
-          val obs = org.apache.spark.sql.Observation(s"commit-$id-$name")
-          df.observe(obs, org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("rows"))
-            .write.mode("overwrite").parquet(dir.toString)
-          val files = listDir(dir)
-            .map(_.getFileName.toString)
-            .filter(f => f.endsWith(".parquet"))
-            .sorted
-          val rows = obs.get("rows").asInstanceOf[Long]
-          (name, rows,
-            s""""${esc(name)}":{"rows":$rows,"files":[${files.map(f => s""""${esc(f)}"""").mkString(",")}]}""")
-        }
-      }, Duration.Inf)
-    val tableEntries = written.map(_._3)
-    val parent = latest.map(_.toString).getOrElse("null")
-    val metaJson = meta.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
-    val manifest =
-      s"""{"snapshot_id":$id,"parent_id":$parent,"wave":$wave,""" +
-        s""""tables":{${tableEntries.mkString(",")}}""" +
-        (if (metaJson.nonEmpty) s""","meta":{$metaJson}}""" else "}")
-    Files.write(tmp.resolve("manifest.json"), manifest.getBytes(UTF_8))
+    val warm = warmFirst.filter(tables.contains).toSeq
+    val (ready, done) = commitAsync(id, wave,
+      loopTables = warm.map(n => n -> tables(n)).toMap,
+      bulkTables = tables -- warm, meta)
+    Await.result(ready, Duration.Inf)
+    Await.result(done, Duration.Inf)
+  }
 
-    Files.createDirectories(snapsDir)
+  /** Pipelined commit (the loop's fast path). Writes proceed in two
+    * phases, each a set of concurrent write jobs:
+    *
+    *   1. `loopTables` — the tables the NEXT wave reads (frontier,
+    *      fetched, seen_sketch). The returned `ready` future completes
+    *      when these are durable: the next wave's planning and cache
+    *      warm-up may start immediately, overlapping phase 2.
+    *   2. `bulkTables` — outputs nothing downstream in the loop reads
+    *      (articles_delta, metrics, denied), then the manifest, moved in
+    *      atomically. `done` completes with all counts.
+    *
+    * Crash safety is unchanged: until the manifest lands the snapshot is
+    * invisible to [[latest]], so a kill anywhere in either phase resumes
+    * from snapshot id−1 and deterministically rewrites the same content.
+    * The caller must await `done` before committing id+1 (snapshot order)
+    * and must not unpersist plan inputs until `done`. */
+  def commitAsync(
+      id: Int,
+      wave: Int,
+      loopTables: Map[String, DataFrame],
+      bulkTables: Map[String, DataFrame],
+      meta: Map[String, String] = Map.empty):
+      (scala.concurrent.Future[Map[String, Long]], scala.concurrent.Future[Map[String, Long]]) = {
+    require(latest.forall(_ < id), s"snapshot $id already committed")
     val dest = snapshotPath(id)
-    deleteRecursively(dest)
-    Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-    written.map(w => w._1 -> w._2).toMap
+    deleteRecursively(dest) // manifest-less turd from a killed run
+    Files.createDirectories(dest)
+
+    def writeOne(name: String, df: DataFrame): (String, Long, String) = {
+      val dir = dest.resolve(name)
+      val tw0 = System.nanoTime()
+      spark.sparkContext.setJobDescription(s"commit-$id/$name")
+      df.write.mode("overwrite").parquet(dir.toString)
+      spark.sparkContext.setJobDescription(null)
+      if (sys.env.contains("GRAFT_PHASE_TRACE"))
+        System.err.println(s"[commit $id] $name write=${(System.nanoTime() - tw0) / 1000000L}ms")
+      val files = listDir(dir)
+        .map(_.getFileName.toString)
+        .filter(f => f.endsWith(".parquet"))
+        .sorted
+      val rows = files.map(f => footerRowCount(dir.resolve(f))).sum
+      (name, rows,
+        s""""${esc(name)}":{"rows":$rows,"files":[${files.map(f => s""""${esc(f)}"""").mkString(",")}]}""")
+    }
+
+    // tables are independent → CONCURRENT Spark jobs (driver-side
+    // futures); the scheduler interleaves their stages, so each phase's
+    // wall ≈ its largest table, not the sum of job latencies
+    import scala.concurrent.Future
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def writeAll(ts: Map[String, DataFrame]) =
+      Future.traverse(ts.toSeq.sortBy(_._1)) { case (n, df) => Future(writeOne(n, df)) }
+
+    val ready = writeAll(loopTables)
+    val done = for {
+      loopWritten <- ready
+      bulkWritten <- writeAll(bulkTables)
+    } yield {
+      val written = (loopWritten ++ bulkWritten).sortBy(_._1)
+      val parent = (0 until id).filter(i =>
+        Files.exists(snapshotPath(i).resolve("manifest.json")))
+        .lastOption.map(_.toString).getOrElse("null")
+      val metaJson = meta.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+      val manifest =
+        s"""{"snapshot_id":$id,"parent_id":$parent,"wave":$wave,""" +
+          s""""tables":{${written.map(_._3).mkString(",")}}""" +
+          (if (metaJson.nonEmpty) s""","meta":{$metaJson}}""" else "}")
+      val tmpManifest = dest.resolve("manifest.json.tmp")
+      Files.write(tmpManifest, manifest.getBytes(UTF_8))
+      Files.move(tmpManifest, dest.resolve("manifest.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+      written.map(w => w._1 -> w._2).toMap
+    }
+    (ready.map(_.map(w => w._1 -> w._2).toMap), done)
+  }
+
+  /** Exact row count from a parquet footer — a driver-side metadata read
+    * (no Spark job, no accumulators; immune to task-retry inflation). */
+  private def footerRowCount(file: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
   }
 
   def manifest(id: Int): String =
     new String(Files.readAllBytes(snapshotPath(id).resolve("manifest.json")), UTF_8)
 
+  /** Snapshot reads impose the fixed table schema when the registry
+    * knows it (plan-only — no footer read, no inference job on the
+    * wave's critical path); unknown tables fall back to inference. */
+  private def reader(name: String) =
+    graft.model.Tables.forRead(name) match {
+      case Some(s) => spark.read.schema(s)
+      case None => spark.read
+    }
+
   def readTable(id: Int, name: String): DataFrame =
-    spark.read.parquet(snapshotPath(id).resolve(name).toString)
+    reader(name).parquet(snapshotPath(id).resolve(name).toString)
 
   def hasTable(id: Int, name: String): Boolean =
     Files.isDirectory(snapshotPath(id).resolve(name))
@@ -126,7 +197,7 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
   def readDeltasUpToOpt(id: Int, name: String): Option[DataFrame] = {
     val paths = (0 to id).map(snapshotPath(_).resolve(name))
       .filter(Files.isDirectory(_)).map(_.toString)
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None else Some(reader(name).parquet(paths: _*))
   }
 
   /** A meta value recorded at commit time (e.g. run_id, n_shards). */

@@ -123,12 +123,23 @@ object Wave {
   def enforceBudgets(
       frontier: DataFrame,
       budgets: DataFrame,
-      cfg: WaveConfig): Dataset[FetchDecision] = {
+      cfg: WaveConfig,
+      /** Where to count per-host rows for salt derivation. The crawl
+        * loop passes the COMMITTED frontier table: a slim parquet scan
+        * makes the salt broadcast an independent query stage (it
+        * materializes concurrently with the probe cogroup instead of
+        * serializing behind the whole decision chain — one less barrier
+        * on the wave's critical path). Pre-gate counts are an upper
+        * bound on post-gate rows; over-salting a host never breaks the
+        * exact per-host token split (bucket s gets t/n + (s < t mod n))
+        * and the counts stay a pure function of committed state, so
+        * replay determinism holds. */
+      saltSource: Option[DataFrame] = None): Dataset[FetchDecision] = {
     val spark = frontier.sparkSession
     import spark.implicits._
 
     // data-derived salt factors: only hot hosts, collected is tiny
-    val saltCounts = frontier.groupBy("host").count()
+    val saltCounts = saltSource.getOrElse(frontier).groupBy("host").count()
       .filter(col("count") > cfg.targetBucketRows)
       .select(col("host"),
         ceil(col("count").cast("double") / cfg.targetBucketRows)
@@ -212,7 +223,8 @@ object Wave {
     val fresh = flagged.filter(!col("__dup")).drop("__dup")
     val dups = flagged.filter(col("__dup")).drop("__dup")
 
-    val decisions = enforceBudgets(fresh, budgets, cfg).persist(DISK)
+    val decisions = enforceBudgets(fresh, budgets, cfg,
+      saltSource = Some(frontier)).persist(DISK)
     val toFetch = decisions.filter(col("fetched")).toDF()
 
     // J1 fetch-simulate: equi-join on url_hash against the canonical page
@@ -220,16 +232,23 @@ object Wave {
     // (articles) and list pages exactly one (discovery), so neither join
     // output needs caching (a cache of the joined page text costs a
     // multi-GB columnar write + re-read per wave; two map-side joins over
-    // the already-cached page index move fewer bytes). At cluster scale
-    // both sides are bucketed by url_hash → shuffle-free SMJ; locally the
-    // frontier slice broadcasts (≤ the per-wave token budget).
+    // the already-cached page index move fewer bytes).
+    // JOIN PHYSICS: [[pageIndex]] is hash-partitioned on url_hash (the
+    // local analog of a bucketed table), so this shuffle_hash join moves
+    // ONLY the slim frontier slice — the page text NEVER exchanges, and
+    // there is no driver-serial broadcast build of a wave-sized slice on
+    // the critical path (a 210k-row broadcast build is ~1-2 s of
+    // non-scaling driver time per join per wave). At cluster scale the
+    // same plan reads both sides bucketed by url_hash → shuffle-free
+    // joins (BucketedLayoutSpec pins that plan).
     // kind-filtered index scans: the cached page index is clustered by
-    // kind, so each side's scan batch-prunes the other side's text
+    // kind within each hash partition, so each side's scan batch-prunes
+    // the other side's text
     def pageText(kind: String) =
       pagesIdx.filter(col("kind") === kind).select(col("url_hash"), col("text"))
-    val detailJoined = toFetch.filter(col("kind") === "detail")
+    val detailJoined = toFetch.filter(col("kind") === "detail").hint("shuffle_hash")
       .join(pageText("detail"), Seq("url_hash"), "inner")
-    val listPages = toFetch.filter(col("kind") === "list")
+    val listPages = toFetch.filter(col("kind") === "list").hint("shuffle_hash")
       .join(pageText("list"), Seq("url_hash"), "inner")
       .select(col("url"), col("text"), col("wave"))
 
@@ -301,22 +320,34 @@ object Wave {
 
   /** Canonical page index for the fetch join: url re-keyed to canonical
     * form, html column NEVER read (column pruning — the fat column stays
-    * on disk; SURVEY.md §5). Rows are CLUSTERED by endpoint kind so a
-    * kind-filtered scan of the cached index prunes whole column batches
-    * via batch stats — the list-page join (≈7% of rows) stops paying a
-    * full materialization of every detail page's text (the wave's single
-    * biggest byte mover). Requires one version per canonical URL — use
+    * on disk; SURVEY.md §5).
+    *
+    * Physical layout (the bucketed-table analog, built ONCE outside the
+    * wave loop): hash-partitioned on url_hash at the session's shuffle
+    * parallelism, so every per-wave fetch join co-locates with the
+    * frontier slice's exchange and the page text itself never shuffles
+    * OR broadcasts. Within each partition rows are CLUSTERED by endpoint
+    * kind so a kind-filtered scan of the cached index prunes whole
+    * column batches via batch stats — the list-page join (≈7% of rows)
+    * stops paying a full materialization of every detail page's text
+    * (the wave's single biggest byte mover); the sort leaves the hash
+    * partitioning intact. Requires one version per canonical URL — use
     * [[pageIndexLatest]] for multi-snapshot corpora. */
-  def pageIndex(pages: DataFrame): DataFrame =
+  def pageIndex(pages: DataFrame): DataFrame = {
+    val parts = pages.sparkSession.sessionState.conf.numShufflePartitions
     pages.select(graft.url.UrlParts(col("url")).as("__u"), col("text"))
       .select(col("__u.url_hash").as("url_hash"), col("__u.url").as("url"),
         kindOfUrl(col("__u.url")).as("kind"), col("text"))
+      .repartition(parts, col("url_hash"))
       .sortWithinPartitions(col("kind"))
+  }
 
   /** Page index over a multi-snapshot corpus (Common-Crawl-style: the
     * same URL captured at several warc_ts): latest capture wins. One
     * window over (url_hash, warc_ts desc) — an index-build cost paid
-    * once, outside the wave loop. */
+    * once, outside the wave loop. The window's own exchange already
+    * leaves the result hash-partitioned on url_hash (the layout
+    * [[pageIndex]] builds explicitly), so no extra repartition. */
   def pageIndexLatest(pages: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("url_hash")).orderBy(col("warc_ts").desc)
     pages.select(graft.url.UrlParts(col("url")).as("__u"), col("warc_ts"), col("text"))

@@ -24,6 +24,9 @@ object BenchProbe {
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_PROBE_AQE", "true"))
       .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+      .config("spark.local.dir",
+        if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,8 +37,14 @@ object BenchProbe {
     val shuffleWriteMs = new AtomicLong
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val stageCpuMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
     val t00 = System.nanoTime()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        stageNames.merge(e.stageInfo.stageId,
+          e.stageInfo.name.takeWhile(_ != '\n').take(60), (a: String, b: String) => s"$a | $b")
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
@@ -46,10 +55,19 @@ object BenchProbe {
           shuffleFetchMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
           shuffleWriteMs.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
           tasks.incrementAndGet()
+          stageMs.computeIfAbsent(e.stageId, _ => new AtomicLong)
+            .addAndGet(m.executorRunTime)
+          stageCpuMs.computeIfAbsent(e.stageId, _ => new AtomicLong)
+            .addAndGet(m.executorCpuTime / 1000000L)
         }
       }
-      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobStarts.put(e.jobId, System.nanoTime())
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        if (desc.nonEmpty) e.stageIds.foreach(sid =>
+          stageNames.merge(sid, s"[$desc]", (a: String, b: String) => s"$b $a"))
+      }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val s = Option(jobStarts.get(e.jobId)).getOrElse(System.nanoTime())
         jobLog.add(f"job=${e.jobId}%3d at=${(s - t00) / 1e9}%7.2fs dur=${(System.nanoTime() - s) / 1e9}%6.2fs")
@@ -58,8 +76,12 @@ object BenchProbe {
 
     val synthCfg = SynthConfig(
       nAccounts = math.max(10, rows * 7 / 100), articlesPerAccount = 10,
-      longTail = rows * 3 / 10, richness = 30)
-    val corpusDir = s"/tmp/graft-bench-corpus-${synthCfg.totalRows}-r${synthCfg.richness}"
+      longTail = rows * 3 / 10,
+      richness = sys.env.getOrElse("GRAFT_PROBE_RICHNESS", "30").toInt)
+    val corpusBase =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else "/tmp"
+    val corpusDir = s"$corpusBase/graft-bench-corpus-${synthCfg.totalRows}-r${synthCfg.richness}"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$corpusDir/_SUCCESS"))) {
       Synth.pages(spark, synthCfg).toDF().write.mode("overwrite").parquet(corpusDir)
     }
@@ -97,6 +119,13 @@ object BenchProbe {
         import scala.jdk.CollectionConverters._
         jobLog.asScala.toSeq.sorted.foreach(l => println(s"[probe-job] $l"))
         jobLog.clear()
+      }
+      if (sys.env.contains("GRAFT_PROBE_STAGES")) {
+        import scala.jdk.CollectionConverters._
+        stageMs.asScala.toSeq.sortBy(-_._2.get).take(25).foreach { case (sid, ms) =>
+          println(f"[probe-stage] run=${ms.get / 1000.0}%7.2fs cpu=${stageCpuMs.get(sid).get / 1000.0}%7.2fs  ${stageNames.getOrDefault(sid, "?")}")
+        }
+        stageMs.clear(); stageCpuMs.clear()
       }
     }
     spark.stop()

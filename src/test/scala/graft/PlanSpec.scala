@@ -64,6 +64,7 @@ class PlanSpec extends SparkSpec {
       .getOrElse("")
     assert(starred(extractLine), s"extractarticle not codegen'd:\n$plan")
     val idx = Wave.pageIndex(Synth.pages(spark, cfg).toDF())
+    idx.collect() // finalize the adaptive plan so codegen stars render
     val urlLine = planOf(idx).linesIterator
       .find(l => l.toLowerCase.contains("urlparts") && l.contains("Project"))
       .getOrElse("")

@@ -38,7 +38,13 @@ object CrawlDriver {
       seenCapacity: Long = 1000000L,
       nShards: Int = 16,
       waveCfg: Wave.WaveConfig = Wave.WaveConfig(),
-      runId: String = "run-0")
+      runId: String = "run-0",
+      /** Rewrite the merged article store as an `articles_base` table
+        * every N committed snapshots (0 = never). Keeps the
+        * merge-on-read view at O(base + tail) instead of scanning every
+        * delta ever written; rides the commit's bulk phase, off the
+        * loop-critical path. */
+      compactEvery: Int = 0)
 
   /** Commit snapshot 0 from seed tables. The seed frontier is derived
     * from the ACCOUNTS table (A2: one list-page entry per seeded
@@ -121,7 +127,13 @@ object CrawlDriver {
       "seen_sketch" -> newShards),
     Map( // bulk outputs: nothing downstream in the loop reads these
       "articles_delta" -> r.articles,
-      "denied" -> r.denied.select("url_hash", "url", "host"),
+      // the gate runs BEFORE in-batch dedupe (robots verdicts are
+      // per-canonical-url, order immaterial), so a denied URL with
+      // duplicate frontier entries appears once per entry here —
+      // dedupe to keep `denied` unique per url_hash per wave (round-1
+      // semantics; the ledger's per-row `denied` fate is unchanged)
+      "denied" -> r.denied.select("url_hash", "url", "host")
+        .dropDuplicates("url_hash"),
       "metrics" -> Wave.metrics(cfg.runId, r.ledger)))
 
   /** Run wave k (reading snapshot k, committing snapshot k+1),
@@ -179,8 +191,17 @@ object CrawlDriver {
     val start = catalog.latest.getOrElse(
       sys.error("catalog not initialized — call init() first"))
     requireShardConfig(catalog, cfg)
-    val constants = Some(
-      (catalog.readTable(0, "robots"), catalog.readTable(0, "budgets")))
+    val robots0 = catalog.readTable(0, "robots")
+    val constants = Some((robots0, catalog.readTable(0, "budgets")))
+    // pick the robots join regime ONCE per run: broadcast for small rule
+    // sets (rides the frontier scan stage), host-keyed shuffle join for
+    // Common-Crawl-sized ones (multi-GB aggregated rules table cannot
+    // broadcast). One count of a run-constant table — off the wave path.
+    val ruleHosts = robots0.select("host").distinct().count()
+    val effCfg =
+      if (ruleHosts > cfg.waveCfg.robotsBroadcastMaxHosts)
+        cfg.copy(waveCfg = cfg.waveCfg.copy(robotsShuffleJoin = true))
+      else cfg
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Future[Long])]
     var pendingDone: Future[Map[String, Long]] = Future.successful(Map.empty)
     var pendingCached: Seq[DataFrame] = Nil
@@ -189,7 +210,7 @@ object CrawlDriver {
     while (k < cfg.nWaves && frontierRows != 0L) {
       val t0 = System.nanoTime()
       // plans + chain warm-up — overlaps the PREVIOUS commit's bulk phase
-      val (r, newShards) = prepareWave(spark, catalog, pagesIdx, k, cfg, constants)
+      val (r, newShards) = prepareWave(spark, catalog, pagesIdx, k, effCfg, constants)
       val planMs = (System.nanoTime() - t0) / 1000000L
       spark.sparkContext.setJobDescription(s"wave-$k/chain-warm")
       r.decisions.count()
@@ -197,9 +218,16 @@ object CrawlDriver {
       // snapshot k fully committed (manifest down) before k+1 writes start
       Await.result(pendingDone, Duration.Inf)
       pendingCached.foreach(_.unpersist())
-      val (loop, bulk) = waveTables(r, newShards, cfg)
+      val (loop, bulk) = waveTables(r, newShards, effCfg)
+      // compaction rides the bulk phase: a pure function of the already-
+      // committed snapshots 0..k (pendingDone was awaited above), so a
+      // kill/replay rewrites the identical base
+      val compact = // k ≥ 1: snapshot 0 carries no deltas to fold
+        if (cfg.compactEvery > 0 && (k + 1) % cfg.compactEvery == 0 && k >= 1)
+          Map("articles_base" -> graft.frontier.ArticleStore.compacted(catalog, k))
+        else Map.empty[String, DataFrame]
       val (ready, done) = catalog.commitAsync(k + 1, wave = k,
-        loopTables = loop, bulkTables = bulk,
+        loopTables = loop, bulkTables = bulk ++ compact,
         meta = Map("run_id" -> cfg.runId, "plan_ms" -> planMs.toString))
       val loopCounts = Await.result(ready, Duration.Inf)
       val fetched = loopCounts("fetched")

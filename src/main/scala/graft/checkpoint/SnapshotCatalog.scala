@@ -194,11 +194,21 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
 
   /** As [[readDeltasUpTo]], None when no snapshot carries the table
     * (sparse deltas — e.g. `retracted` exists only in refresh snapshots). */
-  def readDeltasUpToOpt(id: Int, name: String): Option[DataFrame] = {
-    val paths = (0 to id).map(snapshotPath(_).resolve(name))
+  def readDeltasUpToOpt(id: Int, name: String): Option[DataFrame] =
+    readDeltasInRange(0, id, name)
+
+  /** Union of a delta table across snapshots from..to (inclusive);
+    * None when no snapshot in the range carries it. */
+  def readDeltasInRange(from: Int, to: Int, name: String): Option[DataFrame] = {
+    val paths = (math.max(from, 0) to to).map(snapshotPath(_).resolve(name))
       .filter(Files.isDirectory(_)).map(_.toString)
     if (paths.isEmpty) None else Some(reader(name).parquet(paths: _*))
   }
+
+  /** Newest snapshot ≤ `upTo` that carries `name` (e.g. the latest
+    * compaction base). Filesystem-only — no Spark job. */
+  def latestWithTable(upTo: Int, name: String): Option[Int] =
+    (upTo to 0 by -1).find(hasTable(_, name))
 
   /** A meta value recorded at commit time (e.g. run_id, n_shards). */
   def metaValue(id: Int, key: String): Option[String] =

@@ -217,11 +217,19 @@ object Extract {
         lit(null).cast(LongType).as("publish_unix"),
         col("src_wave"))
 
+    // kind is DERIVED from the canonical URL's grammar (kindOfUrl), not
+    // carried from the emitting branch: the fetch join splits the page
+    // index by kindOfUrl(page url), so a frontier row whose branch-kind
+    // disagreed with its URL pattern (hostile content_url pointing at a
+    // list endpoint) would silently never match — deriving both sides
+    // from the same function makes the invariant structural. The branch
+    // `kind` stays only as the publish_unix carrier distinction.
     details.unionByName(nextLists)
       .select(graft.url.UrlParts(col("raw_url")).as("__u"),
-        col("kind"), col("publish_unix"), col("src_wave"))
+        col("publish_unix"), col("src_wave"))
       .select(col("__u.url").as("url"), col("__u.url_hash").as("url_hash"),
         col("__u.host").as("host"), col("__u.biz").as("biz"),
-        col("kind"), col("publish_unix"), col("src_wave"))
+        graft.frontier.Wave.kindOfUrl(col("__u.url")).as("kind"),
+        col("publish_unix"), col("src_wave"))
   }
 }

@@ -80,7 +80,8 @@ object ExtractArticle {
           var e = close
           while (s < e && b.getByte(s) == ' ') s += 1
           while (e > s && b.getByte(e - 1) == ' ') e -= 1
-          title = slice(b, s, e)
+          // small slice → eager copy (see the view-safety note on slice)
+          title = slice(b, s, e).clone()
         }
       }
     }
@@ -134,7 +135,8 @@ object ExtractArticle {
     if (cLit >= 0) {
       val start = cLit + CommentsLit.length
       val close = find(b, ScriptClose, start)
-      if (close >= 0) commentsJson = slice(b, start, close)
+      // small slice → eager copy (see the view-safety note on slice)
+      if (close >= 0) commentsJson = slice(b, start, close).clone()
     }
 
     InternalRow(title, body, publish, read, like, commentsJson)
@@ -161,7 +163,13 @@ object ExtractArticle {
     c == ' ' || c == '\t' || c == '\n' || c == 0x0b || c == '\f' || c == '\r'
 
   /** Zero-copy view of b's bytes [from, until). Safe under Spark's
-    * eager-copy operator contract (see evalRow doc). */
+    * eager-copy operator contract (see evalRow doc). Risk posture: only
+    * the LARGE body slice stays a view (copying it would double the
+    * wave's byte traffic); the small title/comments slices are cloned
+    * at the call sites, so a future buffering consumer that holds rows
+    * past batch-buffer recycling can corrupt at most the body of a page
+    * read through an off-heap vectorized batch — and ExtractSpec's
+    * multi-batch parquet stress pins that today's operators copy. */
   private def slice(b: UTF8String, from: Int, until: Int): UTF8String =
     UTF8String.fromAddress(b.getBaseObject, b.getBaseOffset + from, until - from)
 

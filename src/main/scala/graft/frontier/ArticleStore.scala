@@ -14,14 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object ArticleStore {
 
-  /** Latest version of every article across snapshots 0..k. */
-  def articles(catalog: SnapshotCatalog, k: Int): DataFrame = {
+  /** Last-write-wins merge of already-deduped base rows + raw deltas. */
+  private def merged(df: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("url_hash"))
       .orderBy(col("wave").desc, col("publish_ts").desc)
-    catalog.readDeltasUpTo(k, "articles_delta")
-      .withColumn("__rn", row_number().over(w))
+    df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Latest version of every article as of snapshot k.
+    *
+    * Reads the newest compaction base ≤ k plus only the delta TAIL
+    * after it — without compaction a long-lived crawl's merge-on-read
+    * cost grows linearly with wave count; with [[compacted]] riding the
+    * commit every N waves it is O(store + N waves), the Iceberg
+    * rewrite-data-files pattern. Falls back to the full delta scan when
+    * no base exists. */
+  def articles(catalog: SnapshotCatalog, k: Int): DataFrame =
+    catalog.latestWithTable(k, "articles_base") match {
+      case Some(b) =>
+        // base at snapshot b covers deltas 0..b-1; tail = b..k
+        val base = catalog.readTable(b, "articles_base")
+        merged(catalog.readDeltasInRange(b, k, "articles_delta")
+          .map(base.unionByName(_)).getOrElse(base))
+      case None => merged(catalog.readDeltasUpTo(k, "articles_delta"))
+    }
+
+  /** The compaction product to commit INTO snapshot k+1 (as table
+    * `articles_base`): the merged store over committed snapshots 0..k —
+    * a pure function of committed state, so kill/replay rewrites the
+    * identical base. */
+  def compacted(catalog: SnapshotCatalog, upToCommitted: Int): DataFrame =
+    articles(catalog, upToCommitted)
 
   /** Explicit upsert merge of a fresh batch onto a current table —
     * full-outer + coalesce, fresh wins (J5). Column sets must match. */

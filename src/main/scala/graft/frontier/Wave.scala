@@ -33,7 +33,17 @@ object Wave {
       /** Politeness tokens for hosts absent from the budgets table. */
       defaultTokens: Int = 8,
       /** Shuffle parallelism for the salted repartition; 0 = leave to AQE. */
-      numPartitions: Int = 0)
+      numPartitions: Int = 0,
+      /** Rule-host count above which the robots gate stops broadcasting
+        * the rules table and host-shuffle-joins instead. mp.weixin-shaped
+        * corpora have a handful of hosts (broadcast is free); a
+        * Common-Crawl 10^8-host rule set is multi-GB — unbroadcastable.
+        * The run loop measures the rules table ONCE per run (it is a
+        * snapshot-0 constant) and sets [[robotsShuffleJoin]]. */
+      robotsBroadcastMaxHosts: Long = 1000000L,
+      /** Force the scale-safe host-keyed shuffle join for robots rules
+        * (no broadcast anywhere in the gate). */
+      robotsShuffleJoin: Boolean = false)
 
   final case class WaveResult(
       decisions: Dataset[FetchDecision],
@@ -59,11 +69,24 @@ object Wave {
   // ------------------------------------------------------------- robots
 
   /** Robots gating (J4/P3): longest-prefix-match per URL, default-allow
-    * when a host has no rules. Zero shuffle on the frontier: rules are
-    * pre-aggregated per host (tiny), broadcast, and the match is a
-    * higher-order `aggregate` over the rules array — no UDF, no window.
+    * when a host has no rules. The match is a higher-order `aggregate`
+    * over the per-host rules array — no UDF, no window.
+    *
+    * Join physics (two regimes, same semantics):
+    *   - `shuffleJoin=false` (default; mp.weixin-shaped corpora, few
+    *     hosts): rules pre-aggregated per host (tiny) and broadcast —
+    *     zero shuffle on the frontier, the gate rides the scan stage.
+    *   - `shuffleJoin=true` (Common-Crawl regime, ~10^8 rule hosts: the
+    *     aggregated rules table is multi-GB, unbroadcastable): host-keyed
+    *     shuffle join. The frontier pays one slim exchange; this is
+    *     strictly cheaper than semi-joining rules down to the wave's
+    *     host set first, which pays the same frontier exchange AND a
+    *     driver-serial broadcast build per wave.
+    * The crawl loop picks the regime once per run from the measured rule
+    * count vs [[WaveConfig.robotsBroadcastMaxHosts]].
     */
-  def robotsGate(frontier: DataFrame, robots: DataFrame): (DataFrame, DataFrame) = {
+  def robotsGate(frontier: DataFrame, robots: DataFrame,
+      shuffleJoin: Boolean = false): (DataFrame, DataFrame) = {
     val rulesByHost = robots
       .groupBy(col("host"))
       .agg(collect_list(struct(col("path_prefix"), col("allowed"))).as("__rules"))
@@ -72,7 +95,10 @@ object Wave {
     val rawPath = try_parse_url(col("url"), lit("PATH"))
     val withPath = frontier.withColumn("__path",
       when(rawPath.isNull || rawPath === "", lit("/")).otherwise(rawPath))
-    val joined = withPath.join(broadcast(rulesByHost), Seq("host"), "left")
+    val joined =
+      if (shuffleJoin)
+        withPath.hint("shuffle_hash").join(rulesByHost, Seq("host"), "left")
+      else withPath.join(broadcast(rulesByHost), Seq("host"), "left")
     // longest matching prefix wins; equal-length tie → allow wins (RFC
     // 9309 least-restrictive tie-break). The fold is order-independent:
     // the result is (max matching len, "any allow rule at that len"), so
@@ -206,9 +232,10 @@ object Wave {
     val DISK = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
     // robots gate first (broadcast + filter — no shuffle, stays inside
-    // the frontier scan stage). Gate-vs-dedupe order is immaterial:
-    // duplicates share a canonical url, hence a robots verdict.
-    val (allowed, denied) = robotsGate(frontier, robots)
+    // the frontier scan stage; shuffle-join regime for huge rule sets,
+    // see robotsGate). Gate-vs-dedupe order is immaterial: duplicates
+    // share a canonical url, hence a robots verdict.
+    val (allowed, denied) = robotsGate(frontier, robots, cfg.robotsShuffleJoin)
     // ONE cogroup fuses first-wins in-batch dedupe (W3) with the shard-
     // aligned sketch probe (no broadcast state) — the wave's critical
     // path pays a single frontier shuffle before budget enforcement.

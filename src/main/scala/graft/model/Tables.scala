@@ -40,6 +40,7 @@ object Tables {
     "frontier" -> of[FrontierEntry](Encoders.product[FrontierEntry]),
     "fetched" -> fetched,
     "articles_delta" -> of[Article](Encoders.product[Article]),
+    "articles_base" -> of[Article](Encoders.product[Article]),
     "denied" -> denied,
     "retracted" -> retracted,
     "robots" -> of[RobotsRule](Encoders.product[RobotsRule]),

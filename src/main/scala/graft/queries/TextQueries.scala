@@ -68,6 +68,13 @@ object TextQueries {
     // DedupSpec on planted near-dups.
     "q_minhash_lsh" -> ((s, d) => minhashBands(t(s, d, "documents"))),
 
+    // the product a dedup user actually consumes: distinct candidate
+    // PAIRS sharing ≥1 minhash band bucket (bucket→pair join, oversized
+    // buckets capped — same machinery as the ANN path). Rows-only
+    // (xxhash64 buckets are Spark-specific); recall on planted near-dups
+    // pinned in DedupSpec.
+    "q_minhash_pairs" -> ((s, d) => minhashPairs(t(s, d, "documents"))),
+
     // 64-bit SimHash per document from token hashes
     "q_simhash64" -> ((s, d) => simhash(t(s, d, "documents"))),
 
@@ -304,6 +311,13 @@ object TextQueries {
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
       .distinct()
   }
+
+  /** MinHash-LSH candidate pairs: distinct (id_a < id_b) sharing ≥1
+    * minhash band bucket, oversized buckets capped — [[minhashBands]]
+    * composed with the same capped bucket→pair join as the ANN path. */
+  def minhashPairs(docs: DataFrame, cap: Long = AnnBucketCap): DataFrame =
+    annCandidatePairs(
+      minhashBands(docs).withColumnRenamed("doc_id", "vec_id"), cap)
 
   /** Karp-Rabin rolling hashes over 5-grams of token hashes, winnowed to
     * the per-window minimum (document fingerprinting for near-dup at

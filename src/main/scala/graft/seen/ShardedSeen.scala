@@ -90,6 +90,12 @@ final case class SketchShard(shard: Int, bytes: Array[Byte])
   */
 object ShardedSeen {
 
+  /** Per-task buffer ceiling for the fused dedupe+probe cogroup: ~16M
+    * slim frontier Rows ≈ a few GB — comfortably inside a normal
+    * executor; a wave bigger than nShards × this is a sizing bug the
+    * guard reports instead of OOM-ing. */
+  val DefaultMaxShardBufferRows: Long = 16000000L
+
   def shardOf(urlHash: Long, nShards: Int): Int =
     ((urlHash % nShards) + nShards).toInt % nShards
 
@@ -130,14 +136,17 @@ object ShardedSeen {
     * (priority, kind, url) minimum, exactly [[graft.frontier.Wave
     * .dedupeInBatch]]'s ordering. Buffers one shard's frontier slice per
     * task (wave/nShards rows — pick nShards so that fits, same bound as
-    * the sketch update). */
+    * the sketch update); `maxBufferRows` turns a mis-sized nShards into
+    * a fail-fast with an actionable message instead of an opaque
+    * executor OOM mid-wave. */
   def probeDedupe(
       frontier: DataFrame,
       shards: Dataset[SketchShard],
       nShards: Int,
       prioIdx: Int,
       kindIdx: Int,
-      urlIdx: Int): DataFrame = {
+      urlIdx: Int,
+      maxBufferRows: Long = DefaultMaxShardBufferRows): DataFrame = {
     val spark = frontier.sparkSession
     import spark.implicits._
     val hashIdx = frontier.schema.fieldIndex("url_hash")
@@ -147,10 +156,17 @@ object ShardedSeen {
         r.getString(kindIdx), r.getString(urlIdx)))
     frontier
       .groupByKey(r => shardOf(r.getLong(hashIdx), nShards))
-      .cogroup(shards.groupByKey(_.shard)) { (_, rows, sks) =>
+      .cogroup(shards.groupByKey(_.shard)) { (shard, rows, sks) =>
         val sketch = sks.map(s => ShardSketch.deserialize(s.bytes))
           .reduceOption(_.merge(_))
-        val sorted = rows.toArray.sorted
+        val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        rows.foreach { r =>
+          require(buf.size < maxBufferRows,
+            s"shard $shard frontier slice exceeds maxBufferRows=$maxBufferRows " +
+              s"— raise nShards so wave/nShards fits in task memory")
+          buf += r
+        }
+        val sorted = buf.toArray.sorted
         var lastHash = 0L
         var first = true
         sorted.iterator.filter { r =>

@@ -88,6 +88,22 @@ class PlanSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v))
   }
 
+  test("robots gate shuffle regime: no broadcast anywhere, verdicts identical") {
+    // Common-Crawl regime: the aggregated rules table is multi-GB —
+    // the gate must run without a broadcast and agree with the
+    // broadcast path row-for-row
+    val cfg = SynthConfig(nAccounts = 3, articlesPerAccount = 4, longTail = 30)
+    val frontier = Synth.seedFrontier(spark, cfg).toDF()
+    val robots = Synth.robots(spark, cfg).toDF()
+    val (aB, dB) = Wave.robotsGate(frontier, robots, shuffleJoin = false)
+    val (aS, dS) = Wave.robotsGate(frontier, robots, shuffleJoin = true)
+    val plan = planOf(aS)
+    assert(!plan.contains("BroadcastExchange") && !plan.contains("BroadcastHashJoin"),
+      s"shuffle regime must not broadcast:\n${plan.take(900)}")
+    assert(aS.exceptAll(aB).isEmpty && aB.exceptAll(aS).isEmpty, "allowed differ")
+    assert(dS.exceptAll(dB).isEmpty && dB.exceptAll(dS).isEmpty, "denied differ")
+  }
+
   test("dedup queries shuffle the 8-byte hash, never the document text") {
     Seq("q_dedup_exact", "q_dedup_norm").foreach { q =>
       val plan = planOf(SparkEntry.queries(q)(spark, sf))

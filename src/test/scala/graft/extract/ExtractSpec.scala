@@ -50,6 +50,43 @@ class ExtractSpec extends SparkSpec {
     }
   }
 
+  test("zero-copy body views survive multi-batch off-heap parquet reads") {
+    // ADVICE r2: the fused expression returns fromAddress views into the
+    // scan's column buffer; off-heap vectorized batches are RECYCLED, so
+    // any operator chain that held a row past its batch would read
+    // garbage. Force many tiny off-heap batches + buffering consumers
+    // (sort, collect) and pin byte identity against the in-memory path.
+    val dir = java.nio.file.Files.createTempDirectory("offheap").toString
+    val stress = SynthConfig(nAccounts = 6, articlesPerAccount = 20, longTail = 0)
+    Synth.pages(spark, stress).toDF()
+      .filter(!col("url").contains("/mp/profile_ext"))
+      .write.mode("overwrite").parquet(s"$dir/pages")
+    val confs = Seq(
+      "spark.sql.columnVector.offheap.enabled" -> "true",
+      "spark.sql.parquet.columnarReaderBatchSize" -> "7")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val viaParquet = Extract.articles(spark.read.parquet(s"$dir/pages"))
+        .orderBy("url") // sort = a buffering consumer spanning batches
+        .select("url", "title", "body", "comments_json")
+        .collect()
+      val direct = Extract.articles(
+          Synth.pages(spark, stress).toDF().filter(!col("url").contains("/mp/profile_ext")))
+        .orderBy("url")
+        .select("url", "title", "body", "comments_json")
+        .collect()
+      assert(viaParquet.length === direct.length)
+      assert(viaParquet.length >= 100, "stress must span many 7-row batches")
+      viaParquet.zip(direct).foreach { case (a, b) =>
+        assert(a === b, s"byte drift at ${a.getString(0)}")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("body is untrimmed and exactly the div contents") {
     val html = Synth.articleHtml(cfg, 3, 1704067200L)
     val body = "(?s)<div id=\"js_content\"[^>]*>(.*?)</div>".r

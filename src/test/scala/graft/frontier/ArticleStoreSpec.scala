@@ -38,6 +38,45 @@ class ArticleStoreSpec extends SparkSpec {
     assert(cm === Map(1L -> "c1-w1", 2L -> "c2-w0", 3L -> "c3-w1"))
   }
 
+  test("compaction: view identical, reads only base + delta tail") {
+    val cfg = graft.synth.SynthConfig(nAccounts = 3, articlesPerAccount = 10, longTail = 40)
+    val idx = Wave.pageIndex(graft.synth.Synth.pages(spark, cfg).toDF())
+    def drive(dir: String, compactEvery: Int) = {
+      val catalog = new SnapshotCatalog(dir, spark)
+      val rc = graft.CrawlDriver.RunConfig(dir, nWaves = 4,
+        seenCapacity = 10000L, nShards = 2, compactEvery = compactEvery)
+      graft.CrawlDriver.init(spark, catalog,
+        graft.synth.Synth.seedFrontier(spark, cfg).toDF(),
+        graft.synth.Synth.robots(spark, cfg).toDF(),
+        graft.synth.Synth.budgets(spark, cfg).toDF(), rc)
+      graft.CrawlDriver.run(spark, catalog, idx, rc)
+      catalog
+    }
+    val plain = drive(
+      java.nio.file.Files.createTempDirectory("nocompact").toString, 0)
+    val compact = drive(
+      java.nio.file.Files.createTempDirectory("compact").toString, 1)
+    val k = plain.latest.get
+    assert(compact.latest.get === k)
+    val base = compact.latestWithTable(k, "articles_base").getOrElse(
+      fail("no compaction base landed"))
+    assert(base >= 2, "compaction must have run past the first fold")
+    assert(!plain.hasTable(base, "articles_base"))
+    // identical merged view
+    val a = ArticleStore.articles(plain, k)
+    val b = ArticleStore.articles(compact, k)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "compacted view must equal the full-delta view")
+    // the compacted read's scan touches ONLY the newest base + the delta
+    // tail after it — never the deltas the base already folded in (the
+    // O(history) merge-on-read cost this exists to kill)
+    def snap(i: Int) = f"/$i%06d/"
+    val allowed = (s"${snap(base)}articles_base" +:
+      (base to k).map(i => s"${snap(i)}articles_delta")).toSet
+    val stray = b.inputFiles.toSeq.filterNot(f => allowed.exists(f.contains))
+    assert(stray.isEmpty, s"read must touch only base@$base + tail: ${stray.take(3)}")
+  }
+
   test("explicit upsert: fresh wins, old survives, new keys appended") {
     val cur = Seq((1L, "old1", 10), (2L, "old2", 20)).toDF("url_hash", "title", "read_count")
     val fresh = Seq((2L, "new2", 99), (3L, "new3", 30)).toDF("url_hash", "title", "read_count")

@@ -28,6 +28,19 @@ class DedupSpec extends SparkSpec {
     assert(buckets(1L).intersect(buckets(3L)).isEmpty, "unrelated must not collide")
   }
 
+  test("minhash pairs: planted dups surface as pairs, unrelated never") {
+    val pairs = TextQueries.minhashPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair must surface")
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L)),
+      "near-dup pairs must surface")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must pair with nothing")
+    // bucket cap drops degenerate buckets entirely
+    val capped = TextQueries.minhashPairs(docs, cap = 1L).collect()
+    assert(capped.isEmpty)
+  }
+
   test("simhash: hamming distance separates near-dups from unrelated") {
     val s = TextQueries.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

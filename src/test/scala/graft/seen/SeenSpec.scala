@@ -107,6 +107,17 @@ class ShardedSeenSpec extends SparkSpec {
     assert(got.size === 1500)
   }
 
+  test("probeDedupe fails fast (actionable message) when a shard slice overruns its buffer bound") {
+    val shards = build(Seq(1L), 100, nShards = 1)
+    val frontier = (1L to 50L)
+      .map(i => (i, s"u$i", 0L, "detail")).toDF("url_hash", "url", "priority", "kind")
+    val probe = ShardedSeen.probeDedupe(frontier.coalesce(1), shards, nShards = 1,
+      prioIdx = 2, kindIdx = 3, urlIdx = 1, maxBufferRows = 10L)
+    val e = intercept[org.apache.spark.SparkException] { probe.count() }
+    assert(e.getMessage.contains("maxBufferRows") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxBufferRows")))
+  }
+
   test("notSeen result is identical across parallelism (4 vs 1 partitions)") {
     val seen = (1L to 500L).map(_ * 31L).toDF("url_hash")
     val shards = build((1L to 500L).map(_ * 31L), 500, nShards = 4)

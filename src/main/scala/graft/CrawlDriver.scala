@@ -44,7 +44,15 @@ object CrawlDriver {
         * merge-on-read view at O(base + tail) instead of scanning every
         * delta ever written; rides the commit's bulk phase, off the
         * loop-critical path. */
-      compactEvery: Int = 0)
+      compactEvery: Int = 0,
+      /** Opt-in checkpointed budget CARRYOVER ([B:6] "per-host budgets
+        * checkpoint"): unused tokens roll into the next wave, capped at
+        * one extra round (bounded burst). Each snapshot commits a
+        * `budget_state` (host, carry) table — a pure function of
+        * committed state, so kill/resume replays identically. Off by
+        * default: the reference's politeness semantics is per-round
+        * refill; only hosts in the budgets table carry state. */
+      carryBudgets: Boolean = false)
 
   /** Commit snapshot 0 from seed tables. The seed frontier is derived
     * from the ACCOUNTS table (A2: one list-page entry per seeded
@@ -94,6 +102,44 @@ object CrawlDriver {
     }
   }
 
+  /** Per-host carryover state at snapshot k: (host, carry). Snapshot 0
+    * carries none (carry = 0 everywhere). */
+  private def budgetState(catalog: SnapshotCatalog, k: Int): Option[DataFrame] =
+    if (catalog.hasTable(k, "budget_state")) Some(catalog.readTable(k, "budget_state"))
+    else None
+
+  /** Budgets with carryover applied: this wave's allowance =
+    * tokens_per_round + carry (carry ≤ tokens_per_round, so a host can
+    * burst at most one extra round after idling). */
+  private def effectiveBudgets(budgets: DataFrame, state: Option[DataFrame]): DataFrame =
+    state match {
+      case None => budgets
+      case Some(st) => budgets
+        .join(st.select(col("host"), col("carry")), Seq("host"), "left")
+        .withColumn("tokens_per_round",
+          (col("tokens_per_round") + coalesce(col("carry"), lit(0))).cast("int"))
+        .select("host", "tokens_per_round")
+    }
+
+  /** Next wave's carry = min(allowance − used, tokens_per_round),
+    * floored at 0 — a pure aggregation of this wave's committed fetched
+    * delta against the run-constant budgets (deterministic on replay).
+    * Only hosts in the budgets table carry state; default-token hosts
+    * refill per wave. */
+  private def nextBudgetState(
+      budgets: DataFrame, state: Option[DataFrame], fetched: DataFrame): DataFrame = {
+    val used = fetched.groupBy("host").agg(count(lit(1)).as("__used"))
+    val carried = state.map(_.select(col("host"), col("carry"))).getOrElse(
+      budgets.select(col("host"), lit(0).as("carry")))
+    budgets.select(col("host"), col("tokens_per_round"))
+      .join(carried, Seq("host"), "left")
+      .join(used, Seq("host"), "left")
+      .select(col("host"),
+        greatest(lit(0), least(col("tokens_per_round"),
+          col("tokens_per_round") + coalesce(col("carry"), lit(0)) -
+            coalesce(col("__used"), lit(0)))).cast("int").as("carry"))
+  }
+
   /** Wave k's output plans + the updated shard table — pure plan
     * construction over snapshot k (no actions). */
   private def prepareWave(
@@ -109,8 +155,11 @@ object CrawlDriver {
     val shards = catalog.readTable(k, "seen_sketch").as[SketchShard]
     val (robots, budgets) = constants.getOrElse(
       (catalog.readTable(0, "robots"), catalog.readTable(0, "budgets")))
+    val waveBudgets =
+      if (cfg.carryBudgets) effectiveBudgets(budgets, budgetState(catalog, k))
+      else budgets
     val r = Wave.run(spark, k, frontier, seenExact, shards, cfg.nShards,
-      robots, budgets, pagesIdx, cfg.waveCfg)
+      robots, waveBudgets, pagesIdx, cfg.waveCfg)
     // shard update is itself a lazy plan — materialized by its commit
     // write job like every other table (executor-side build + merge)
     val noDeletes = spark.range(0).select(col("id").as("url_hash"))
@@ -119,12 +168,14 @@ object CrawlDriver {
     (r, newShards.toDF())
   }
 
-  private def waveTables(r: Wave.WaveResult, newShards: DataFrame, cfg: RunConfig)
+  private def waveTables(r: Wave.WaveResult, newShards: DataFrame, cfg: RunConfig,
+      budgetStateNext: Option[DataFrame] = None)
       : (Map[String, DataFrame], Map[String, DataFrame]) = (
     Map( // loop-critical: what wave k+1 reads
       "frontier" -> r.frontierNext,
       "fetched" -> r.fetched,
-      "seen_sketch" -> newShards),
+      "seen_sketch" -> newShards) ++
+      budgetStateNext.map("budget_state" -> _),
     Map( // bulk outputs: nothing downstream in the loop reads these
       "articles_delta" -> r.articles,
       // the gate runs BEFORE in-batch dedupe (robots verdicts are
@@ -157,7 +208,12 @@ object CrawlDriver {
     // caches in one pass, so the five concurrent writes that follow read
     // warm cache blocks instead of racing on uncomputed-partition locks.
     // A useful write doubles as the warm-up — no standalone count job.
-    val (loop, bulk) = waveTables(r, newShards, cfg)
+    val budgets0 = constants.map(_._2).getOrElse(catalog.readTable(0, "budgets"))
+    val stateNext =
+      if (cfg.carryBudgets)
+        Some(nextBudgetState(budgets0, budgetState(catalog, k), r.fetched))
+      else None
+    val (loop, bulk) = waveTables(r, newShards, cfg, stateNext)
     val counts = catalog.commit(k + 1, wave = k, tables = loop ++ bulk,
       meta = Map("run_id" -> cfg.runId, "plan_ms" -> planMs.toString),
       warmFirst = Some("fetched"))
@@ -192,7 +248,8 @@ object CrawlDriver {
       sys.error("catalog not initialized — call init() first"))
     requireShardConfig(catalog, cfg)
     val robots0 = catalog.readTable(0, "robots")
-    val constants = Some((robots0, catalog.readTable(0, "budgets")))
+    val budgets0 = catalog.readTable(0, "budgets")
+    val constants = Some((robots0, budgets0))
     // pick the robots join regime ONCE per run: broadcast for small rule
     // sets (rides the frontier scan stage), host-keyed shuffle join for
     // Common-Crawl-sized ones (multi-GB aggregated rules table cannot
@@ -213,12 +270,20 @@ object CrawlDriver {
       val (r, newShards) = prepareWave(spark, catalog, pagesIdx, k, effCfg, constants)
       val planMs = (System.nanoTime() - t0) / 1000000L
       spark.sparkContext.setJobDescription(s"wave-$k/chain-warm")
-      r.decisions.count()
+      // warming frontierNext materializes the whole decision chain (its
+      // deferred branch scans every decisions block) PLUS the list fetch
+      // join + discovery parse — all during the previous commit's bulk
+      // phase, so the loop-phase frontier write reads warm cache
+      r.frontierNext.count()
       spark.sparkContext.setJobDescription(null)
       // snapshot k fully committed (manifest down) before k+1 writes start
       Await.result(pendingDone, Duration.Inf)
       pendingCached.foreach(_.unpersist())
-      val (loop, bulk) = waveTables(r, newShards, effCfg)
+      val stateNext =
+        if (cfg.carryBudgets)
+          Some(nextBudgetState(budgets0, budgetState(catalog, k), r.fetched))
+        else None
+      val (loop, bulk) = waveTables(r, newShards, effCfg, stateNext)
       // compaction rides the bulk phase: a pure function of the already-
       // committed snapshots 0..k (pendingDone was awaited above), so a
       // kill/replay rewrites the identical base
@@ -323,7 +388,12 @@ object CrawlDriver {
       .appName("graft-crawl")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off for the crawl loop: its partitioning is explicit and
+      // data-derived (host-salted buckets, shard cogroups, hash-
+      // partitioned page index); AQE's runtime coalescing of those
+      // deliberately-sized partitions measured +33% task time and a
+      // 45s GC surge at local[16] (see Bench.session scaladoc)
+      .config("spark.sql.adaptive.enabled", "false")
       // the per-wave frontier slice is always tiny next to the pages
       // table: broadcast it instead of shuffling the whole page index
       // to disk (at cluster scale the same join is a bucketed SMJ)

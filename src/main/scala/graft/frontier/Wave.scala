@@ -308,7 +308,12 @@ object Wave {
       .select("url", "url_hash", "host", "biz", "kind", "wave", "priority",
         "discovered_ts")
 
-    val frontierNext = dedupeInBatch(deferred.unionByName(discovered))
+    // persisted so the loop can WARM it during the previous commit's
+    // bulk phase: one count materializes the decisions cache (deferred
+    // branch scans every block), the list fetch join + discovery parse,
+    // and this cache — the frontier write then reads warm blocks off
+    // the critical path (slim rows; wave-sized)
+    val frontierNext = dedupeInBatch(deferred.unionByName(discovered)).persist(DISK)
 
     val fetchedTbl = toFetch.select(col("wave"), col("priority"),
       col("url_hash"), col("url"), col("host"), col("partition_id"))
@@ -335,7 +340,7 @@ object Wave {
 
     WaveResult(decisions, articles, discovered, frontierNext,
       fetchedTbl, denied, ledger,
-      cached = Seq(probed, flagged, decisions.toDF()))
+      cached = Seq(probed, flagged, decisions.toDF(), frontierNext))
   }
 
   /** P1 endpoint classifier: list endpoints (paginated msg feeds) vs

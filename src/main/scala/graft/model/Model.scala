@@ -57,10 +57,12 @@ final case class ArticleComment(
 
 final case class RobotsRule(host: String, path_prefix: String, allowed: Boolean)
 
-/** Politeness budget. Tokens REFILL every wave by design — a "round" is
-  * the politeness window (per-host rate cap per crawl round, the
-  * upstream semantics); there is deliberately no carried-over
-  * tokens_left state in the batch path. The streaming variant keeps
+/** Politeness budget. Tokens REFILL every wave by default — a "round"
+  * is the politeness window (per-host rate cap per crawl round, the
+  * upstream semantics). Checkpointed CARRYOVER is opt-in
+  * ([[graft.CrawlDriver.RunConfig.carryBudgets]]): unused tokens roll
+  * into the next wave, capped at one extra round, persisted per
+  * snapshot as `budget_state(host, carry)`. The streaming variant keeps
   * rolling bucket state in GroupState instead. */
 final case class HostBudget(host: String, tokens_per_round: Int)
 

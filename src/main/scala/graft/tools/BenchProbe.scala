@@ -19,7 +19,8 @@ object BenchProbe {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"probe-$cores")
-      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_PROBE_PARTITIONS", cores.toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("GRAFT_PROBE_AQE", "true"))

@@ -75,6 +75,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftPlanner.install(s) // custom ShardedProbeExec on the hot path
     s
   }
 

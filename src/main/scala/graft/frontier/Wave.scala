@@ -242,10 +242,20 @@ object Wave {
     // Persisted lazily: the commit's concurrent write jobs materialize
     // the caches (block-level cache locking dedupes concurrent computes).
     val aSchema = allowed.schema // the gate's join may reorder columns
-    val probed = ShardedSeen.probeDedupe(allowed, shards, nShards,
-      prioIdx = aSchema.fieldIndex("priority"),
-      kindIdx = aSchema.fieldIndex("kind"),
-      urlIdx = aSchema.fieldIndex("url")).persist(DISK)
+    // fast path: the custom ShardedProbeExec physical operator
+    // (InternalRow-level — no encoder round-trip) when the session has
+    // the strategy installed; the Dataset-cogroup twin is the portable
+    // fallback and the reference semantics (ShardedProbePlanSpec pins
+    // row-identity between the two)
+    val probed0 =
+      if (graft.plans.GraftPlanner.installed(spark))
+        graft.plans.GraftPlanner.probeDedupe(allowed, shards.toDF(), nShards,
+          ShardedSeen.DefaultMaxShardBufferRows)
+      else ShardedSeen.probeDedupe(allowed, shards, nShards,
+        prioIdx = aSchema.fieldIndex("priority"),
+        kindIdx = aSchema.fieldIndex("kind"),
+        urlIdx = aSchema.fieldIndex("url"))
+    val probed = probed0.persist(DISK)
     val flagged = ShardedSeen.confirmFlag(probed, seenExact).persist(DISK)
     val fresh = flagged.filter(!col("__dup")).drop("__dup")
     val dups = flagged.filter(col("__dup")).drop("__dup")

@@ -99,6 +99,17 @@ object ShardedSeen {
   def shardOf(urlHash: Long, nShards: Int): Int =
     ((urlHash % nShards) + nShards).toInt % nShards
 
+  /** Row + one boolean column with ONE array copy — `fromSeq(toSeq :+ x)`
+    * copies the row twice per frontier row on the probe hot path. */
+  private def appendFlag(r: org.apache.spark.sql.Row, flag: Boolean): org.apache.spark.sql.Row = {
+    val n = r.length
+    val arr = new Array[Any](n + 1)
+    var i = 0
+    while (i < n) { arr(i) = r.get(i); i += 1 }
+    arr(n) = flag
+    new org.apache.spark.sql.catalyst.expressions.GenericRow(arr)
+  }
+
   def emptyShards(spark: SparkSession): Dataset[SketchShard] = {
     import spark.implicits._
     spark.emptyDataset[SketchShard]
@@ -122,9 +133,9 @@ object ShardedSeen {
         val sketch = sks.map(s => ShardSketch.deserialize(s.bytes))
           .reduceOption(_.merge(_))
         sketch match {
-          case None => rows.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq :+ false))
+          case None => rows.map(r => appendFlag(r, false))
           case Some(sk) => rows.map(r =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ sk.mightContain(r.getLong(hashIdx))))
+            appendFlag(r, sk.mightContain(r.getLong(hashIdx))))
         }
       }(outEnc)
   }
@@ -151,9 +162,21 @@ object ShardedSeen {
     import spark.implicits._
     val hashIdx = frontier.schema.fieldIndex("url_hash")
     val outEnc = Encoders.row(frontier.schema.add("__maybe", BooleanType))
+    // direct field comparator — Ordering.by would allocate a Tuple4 (+
+    // 2 boxed longs) per comparison: ~n log n tuples per shard slice,
+    // hundreds of MB of garbage per fat wave
     implicit val rowOrd: Ordering[org.apache.spark.sql.Row] =
-      Ordering.by(r => (r.getLong(hashIdx), r.getLong(prioIdx),
-        r.getString(kindIdx), r.getString(urlIdx)))
+      new Ordering[org.apache.spark.sql.Row] {
+        def compare(a: org.apache.spark.sql.Row, b: org.apache.spark.sql.Row): Int = {
+          val h = java.lang.Long.compare(a.getLong(hashIdx), b.getLong(hashIdx))
+          if (h != 0) return h
+          val p = java.lang.Long.compare(a.getLong(prioIdx), b.getLong(prioIdx))
+          if (p != 0) return p
+          val k = a.getString(kindIdx).compareTo(b.getString(kindIdx))
+          if (k != 0) return k
+          a.getString(urlIdx).compareTo(b.getString(urlIdx))
+        }
+      }
     frontier
       .groupByKey(r => shardOf(r.getLong(hashIdx), nShards))
       .cogroup(shards.groupByKey(_.shard)) { (shard, rows, sks) =>
@@ -174,10 +197,8 @@ object ShardedSeen {
           val keep = first || h != lastHash
           lastHash = h; first = false
           keep
-        }.map { r =>
-          val maybe = sketch.exists(_.mightContain(r.getLong(hashIdx)))
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)
-        }
+        }.map(r =>
+          appendFlag(r, sketch.exists(_.mightContain(r.getLong(hashIdx)))))
       }(outEnc)
   }
 

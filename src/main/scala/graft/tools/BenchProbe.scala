@@ -31,6 +31,8 @@ object BenchProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (!sys.env.contains("GRAFT_PROBE_NO_EXEC"))
+      graft.plans.GraftPlanner.install(spark)
 
     val taskMs = new AtomicLong; val gcMs = new AtomicLong
     val cpuNs = new AtomicLong; val tasks = new AtomicInteger

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the classic
+  * coarse-quantizer scale path for embedding search (Sivic & Zisserman
+  * "Video Google" ICCV'03; the FAISS IVF family — public papers). The
+  * banded random-hyperplane LSH in [[TextQueries.annBuckets]] is
+  * data-independent; IVF is the data-adaptive alternative: partition
+  * the corpus into K cells around coarse centroids, search only the
+  * `nprobe` cells nearest the query.
+  *
+  * Spark-first shape (designed for 10^10 vectors):
+  *   - centroids: K deterministic sample vectors (smallest
+  *     xxhash64(vec_id) — a uniform reservoir-free sample picked by a
+  *     TakeOrdered top-K, no iterative clustering job), L2-normalized
+  *     at the driver so nearest-by-cosine ≡ argmax dot. K×dim doubles
+  *     (64×64 here) travel as ONE plan literal — never a shuffle, and
+  *     the codegen'd assignment pass streams the corpus exactly once.
+  *   - assignment: per-vector argmax over the centroid matrix via
+  *     higher-order functions (zip_with/aggregate/transform) — no UDF,
+  *     whole-stage codegen, embarrassingly parallel.
+  *   - the cell id is a PHYSICAL layout key: at scale the assignment
+  *     is written `partitionBy("cell")` (or bucketed), so a query's
+  *     candidate scan is partition-PRUNED to nprobe cells — the read
+  *     never touches the other K−nprobe cells (IvfSpec pins the pruned
+  *     scan plan on a partitioned parquet write).
+  *   - query: probe cells ranked in-plan from the same literal (a
+  *     1-row broadcast, like the brute-force query vector), exact
+  *     cosine only inside the probed slice, TakeOrdered top-k.
+  */
+object Ivf {
+
+  /** Default cell count for the registered queries (sf-scale data;
+    * at 10^10 vectors K would be ~√N-ish, e.g. 2^16). */
+  val DefaultCells = 16
+  val DefaultProbes = 4
+
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** K deterministic, L2-normalized coarse centroids: the K vectors
+    * with the smallest xxhash64(vec_id) (seeded, order-stable). One
+    * TakeOrdered job over (hash, id) pairs; only K embeddings reach
+    * the driver. */
+  def centroids(embeddings: DataFrame, k: Int): Seq[Seq[Double]] = {
+    val rows = embeddings
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("embedding"))
+      .collect()
+    rows.toSeq.map { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      val n = math.max(math.sqrt(v.map(x => x * x).sum), 1e-12)
+      v.map(_ / n)
+    }
+  }
+
+  /** Array of K dot products of `emb` against the centroid literal. */
+  private def dotsCol(emb: Column, c: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), j => dotCol(emb, element_at(c, j + 1)))
+
+  /** Cell id = argmax dot (first index on exact ties — deterministic). */
+  def cellCol(emb: Column, c: Column, k: Int): Column = {
+    val dots = dotsCol(emb, c, k)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** (vec_id, cell) assignment for the whole corpus — one codegen'd
+    * linear pass. Returns an empty 2-column frame on an empty corpus
+    * (no centroids to sample). */
+  def assign(embeddings: DataFrame, k: Int = DefaultCells): DataFrame = {
+    val cs = centroids(embeddings, k)
+    if (cs.isEmpty)
+      return embeddings.sparkSession.emptyDataFrame
+        .withColumn("vec_id", lit(0L)).withColumn("cell", lit(0)).limit(0)
+    val c = typedLit(cs)
+    embeddings.select(col("vec_id"),
+      cellCol(col("embedding"), c, cs.size).as("cell"))
+  }
+
+  /** IVF top-k for the query vector `vec_id = queryId`: rank all K
+    * cells by the QUERY's dot products (in-plan, from the same literal
+    * — ties broken by cell index), probe the best `nprobe`, exact
+    * cosine inside the probed slice only, top-k by (cos desc, vec_id).
+    *
+    * The probed-slice filter is `array_contains(probes, cell)` over the
+    * assignment — on a cell-partitioned layout this is the partition-
+    * pruning predicate (IvfSpec). */
+  def topK(embeddings: DataFrame, queryId: Long = 0L, topK: Int = 10,
+      nprobe: Int = DefaultProbes, k: Int = DefaultCells): DataFrame = {
+    val cs = centroids(embeddings, k)
+    if (cs.isEmpty)
+      return embeddings.sparkSession.emptyDataFrame
+        .withColumn("vec_id", lit(0L)).withColumn("cell", lit(0))
+        .withColumn("cos_sim", lit(0.0)).limit(0)
+    val kk = cs.size
+    val c = typedLit(cs)
+    val np = math.min(nprobe, kk)
+
+    // 1-row query side: embedding + its ranked probe list. struct sort
+    // is lexicographic (neg-dot asc, cell asc) — deterministic.
+    val qdots = dotsCol(col("qe"), c, kk)
+    val ranked = array_sort(transform(sequence(lit(0), lit(kk - 1)),
+      j => struct((-element_at(qdots, j + 1)).as("nd"), j.cast("int").as("cell"))))
+    val probes = transform(slice(ranked, 1, np), s => s.getField("cell"))
+    val q = embeddings.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+      .select(col("qe"), probes.as("__probes"))
+
+    embeddings.filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), col("embedding"),
+        cellCol(col("embedding"), c, kk).as("cell"))
+      .crossJoin(broadcast(q))
+      .filter(array_contains(col("__probes"), col("cell")))
+      .select(col("vec_id"), col("cell"),
+        TextQueries.cosineCol(col("embedding"), col("qe")).as("cos_raw"))
+      .orderBy(col("cos_raw").desc, col("vec_id").asc)
+      .limit(topK)
+      .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+}

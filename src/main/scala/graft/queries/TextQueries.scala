@@ -137,6 +137,13 @@ object TextQueries {
     // ~N/65536 per band and the cap below bounds the worst case.
     "q_ann_lsh_bucket" -> ((s, d) => annBuckets(t(s, d, "embeddings"))),
 
+    // IVF coarse-quantizer ANN (the data-adaptive scale path next to
+    // the data-independent LSH above; see [[Ivf]]). Rows-only: the
+    // centroid sample is xxhash64-seeded (Spark-specific); assignment
+    // determinism + recall vs brute force are pinned in IvfSpec.
+    "q_ann_ivf_assign" -> ((s, d) => Ivf.assign(t(s, d, "embeddings"))),
+    "q_ann_ivf_topk" -> ((s, d) => Ivf.topK(t(s, d, "embeddings"))),
+
     // embedding-cosine near-dup pairs: candidates from the banded-bucket
     // self-join, deduped across bands, oversized buckets capped, then
     // verified with exact cosine. Rows-only: hash buckets are Spark-

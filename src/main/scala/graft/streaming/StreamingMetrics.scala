@@ -1,0 +1,48 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming crawl telemetry (SURVEY.md §3 R3/R4 — the
+  * watermark + event-time-window pair; optional like R2, the batch
+  * metrics rollup stays normative).
+  *
+  * Fetch events stream in with their event time; per-(window, host)
+  * fetch/extract counts and throughput aggregate over TUMBLING
+  * event-time windows behind a WATERMARK, so:
+  *   - state is bounded: a window's partial aggregate is dropped from
+  *     the state store once the watermark passes its end — the state
+  *     never grows with stream lifetime, only with (active hosts ×
+  *     in-flight windows), which is what makes this viable on a
+  *     long-running 10^10-URL crawl;
+  *   - append-mode output emits each (window, host) row EXACTLY ONCE,
+  *     when the window closes — the natural feed for a metrics sink;
+  *   - events later than the watermark are dropped, deterministically.
+  */
+object StreamingMetrics {
+
+  /** One fetch attempt, event-timed. `ok` = the page was fetched AND
+    * extracted (the headline metric counts fetched+extracted). */
+  final case class FetchEvent(url_hash: Long, host: String, ok: Boolean,
+      fetch_ts: Timestamp)
+
+  /** Per-(tumbling window, host) counts + throughput. Late events
+    * beyond `watermarkSec` are dropped; rows emit on window close. */
+  def windowed(events: Dataset[FetchEvent], windowSec: Int = 60,
+      watermarkSec: Int = 120): DataFrame =
+    events.toDF()
+      .withWatermark("fetch_ts", s"$watermarkSec seconds")
+      .groupBy(window(col("fetch_ts"), s"$windowSec seconds"), col("host"))
+      .agg(
+        count(lit(1)).as("attempted"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("fetched_extracted"),
+        approx_count_distinct(col("url_hash")).as("approx_urls"))
+      .select(
+        col("window.start").as("win_start"),
+        col("window.end").as("win_end"),
+        col("host"), col("attempted"), col("fetched_extracted"),
+        col("approx_urls"),
+        (col("fetched_extracted").cast("double") / windowSec).as("urls_per_sec"))
+}

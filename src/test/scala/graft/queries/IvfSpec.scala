@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** IVF coarse-quantizer ANN ([[Ivf]]): assignment invariants and
+  * determinism, exactness at nprobe=K, recall of a planted co-directional
+  * near-dup at nprobe=1, and the partition-pruned probe scan that makes
+  * the cell id a physical index key at scale. */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+
+  /** 3 well-separated clusters on coordinate axes + the query (id 0)
+    * inside cluster A; id 1 is the query's direction scaled (cos = 1). */
+  private def plantedDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    val rows =
+      Seq((0L, vec(10, 1, 0, 0), 0), (1L, vec(20, 2, 0, 0), 0)) ++ // A: query + co-dir dup
+        (2L to 9L).map(i => (i, vec(9 + i * 0.1, 1.5, 0.1 * i, 0), 0)) ++ // A
+        (10L to 19L).map(i => (i, vec(0, 0.1 * i, 9 + i * 0.05, 0), 1)) ++ // B
+        (20L to 29L).map(i => (i, vec(0.1, 0, 0.2, 9 + i * 0.05), 2)) // C
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ivf assignment: one cell per vector, in range, repartition-invariant") {
+    val dir = plantedDir()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = 6
+    val a1 = Ivf.assign(e, k).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1.size === e.count())
+    assert(a1.values.forall(c => c >= 0 && c < k))
+    // same corpus, different physical layout → identical assignment
+    // (centroid sample is an order-stable TakeOrdered, argmax tie-break
+    // is by index — nothing depends on partitioning)
+    val a2 = Ivf.assign(e.repartition(7, col("vec_id")), k)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a1 === a2)
+  }
+
+  test("ivf with nprobe = K is exactly brute-force top-k") {
+    val dir = plantedDir()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = 5
+    val ivf = Ivf.topK(e, queryId = 0L, topK = 8, nprobe = k, k = k)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+    val brute = TextQueries.queries("q_embed_topk")(spark, dir)
+      .limit(8).as[(Long, Double)].collect().toSeq
+    // probing every cell searches the whole corpus → identical ranking
+    assert(ivf.map(_._1).take(8) === brute.map(_._1).take(8))
+    ivf.zip(brute).foreach { case ((_, a), (_, b)) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("ivf recall: co-directional near-dup is found at nprobe = 1") {
+    val dir = plantedDir()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    // id 1 is the query direction scaled → identical dot ORDER against
+    // any centroid set → same argmax cell as the query, which is always
+    // the first probed cell. nprobe=1 must therefore recover it at rank 1.
+    val got = Ivf.topK(e, queryId = 0L, topK = 3, nprobe = 1, k = 6)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect()
+    assert(got.head._1 === 1L, s"planted co-dir dup must rank first: ${got.toSeq}")
+    assert(got.head._2 === 1.0)
+  }
+
+  test("cell is a physical index key: probe scan is partition-pruned") {
+    val dir = plantedDir()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = 6
+    // the scale layout: assignment joined back to vectors, written
+    // partitionBy(cell) — the on-disk inverted file
+    val idxDir = s"$dir/ivf_index"
+    Ivf.assign(e, k).join(e, Seq("vec_id"))
+      .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
+    val probed = spark.read.parquet(idxDir).filter(col("cell").isin(0, 1))
+    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no file scan in probe plan"))
+    assert(scan.partitionFilters.nonEmpty, "cell predicate must be a partition filter")
+    val totalCells = spark.read.parquet(idxDir).select("cell").distinct().count()
+    val probedCount = scan.selectedPartitions.partitionCount
+    assert(probedCount < totalCells,
+      s"scan must touch only probed cells: $probedCount of $totalCells")
+    assert(probedCount <= 2)
+  }
+
+  test("registered queries run against testdata shape") {
+    val dir = plantedDir()
+    val assign = TextQueries.queries("q_ann_ivf_assign")(spark, dir)
+    assert(assign.columns.toSeq === Seq("vec_id", "cell"))
+    assert(assign.count() === 30)
+    val topk = TextQueries.queries("q_ann_ivf_topk")(spark, dir)
+    assert(topk.columns.toSeq === Seq("vec_id", "cell", "cos_sim"))
+    assert(topk.count() > 0)
+  }
+}

@@ -47,4 +47,43 @@ class StreamingSpec extends SparkSpec {
         "cumulative budget must hold across micro-batches")
     } finally q.stop()
   }
+
+  test("windowed metrics: tumbling event-time windows close on watermark, late events drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingMetrics.FetchEvent
+    val base = 1704067200000L // 2024-01-01T00:00:00Z, window-aligned
+    def ev(h: Long, host: String, ok: Boolean, offSec: Long) =
+      FetchEvent(h, host, ok, new Timestamp(base + offSec * 1000))
+    val input = MemoryStream[FetchEvent]
+    val out = StreamingMetrics.windowed(input.toDS(), windowSec = 60, watermarkSec = 30)
+    val q = out.writeStream.format("memory").queryName("metrics_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // events inside window [0, 60): 3 for host a (2 ok), 1 for b
+      input.addData(
+        ev(1, "a.example", ok = true, 5), ev(2, "a.example", ok = true, 20),
+        ev(3, "a.example", ok = false, 59), ev(4, "b.example", ok = true, 30))
+      q.processAllAvailable()
+      // watermark hasn't passed 60s yet → append emits nothing
+      assert(spark.table("metrics_out").count() === 0,
+        "window must not emit before the watermark closes it")
+
+      // an event at t=120 advances the watermark to 90 > 60 → [0,60) closes
+      input.addData(ev(5, "a.example", ok = true, 120))
+      q.processAllAvailable()
+      val closed = spark.table("metrics_out")
+        .select("host", "attempted", "fetched_extracted", "urls_per_sec")
+        .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+      assert(closed.toSeq === Seq(
+        ("a.example", 3L, 2L, 2.0 / 60), ("b.example", 1L, 1L, 1.0 / 60)),
+        s"exactly-once close of [0,60) per host: ${closed.toSeq}")
+
+      // a LATE event for the closed window (t=10 < watermark 90) is dropped:
+      // no new row, no mutation of the emitted one
+      input.addData(ev(6, "a.example", ok = true, 10))
+      q.processAllAvailable()
+      assert(spark.table("metrics_out").count() === closed.length,
+        "late event beyond the watermark must be dropped")
+    } finally q.stop()
+  }
 }

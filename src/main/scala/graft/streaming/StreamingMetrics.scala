@@ -45,4 +45,23 @@ object StreamingMetrics {
         col("host"), col("attempted"), col("fetched_extracted"),
         col("approx_urls"),
         (col("fetched_extracted").cast("double") / windowSec).as("urls_per_sec"))
+
+  /** Per-host fetch BURSTS via session windows: consecutive events gap
+    * ≤ `gapSec` merge into one session; a quiet gap closes it. The
+    * session's row emits once the watermark passes its end — the shape
+    * a politeness auditor reads ("host X saw an m-fetch burst of n
+    * seconds"), complementing the fixed-cadence tumbling rollup. */
+  def bursts(events: Dataset[FetchEvent], gapSec: Int = 30,
+      watermarkSec: Int = 60): DataFrame =
+    events.toDF()
+      .withWatermark("fetch_ts", s"$watermarkSec seconds")
+      .groupBy(session_window(col("fetch_ts"), s"$gapSec seconds"), col("host"))
+      .agg(count(lit(1)).as("attempted"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("fetched_extracted"))
+      .select(
+        col("session_window.start").as("burst_start"),
+        col("session_window.end").as("burst_end"),
+        col("host"), col("attempted"), col("fetched_extracted"),
+        (unix_timestamp(col("session_window.end")) -
+          unix_timestamp(col("session_window.start"))).as("burst_sec"))
 }

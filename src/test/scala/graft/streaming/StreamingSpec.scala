@@ -86,4 +86,33 @@ class StreamingSpec extends SparkSpec {
         "late event beyond the watermark must be dropped")
     } finally q.stop()
   }
+
+  test("session-window bursts: gap merges events, quiet period splits sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingMetrics.FetchEvent
+    val base = 1704067200000L
+    def ev(h: Long, host: String, offSec: Long) =
+      FetchEvent(h, host, ok = true, new Timestamp(base + offSec * 1000))
+    val input = MemoryStream[FetchEvent]
+    // gap 10s: events at 0,5,12 chain into ONE session [0, 22); the
+    // event at 40 starts a second session [40, 50)
+    val out = StreamingMetrics.bursts(input.toDS(), gapSec = 10, watermarkSec = 5)
+    val q = out.writeStream.format("memory").queryName("bursts_out")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(ev(1, "a.example", 0), ev(2, "a.example", 5),
+        ev(3, "a.example", 12), ev(4, "a.example", 40))
+      q.processAllAvailable()
+      // push the watermark far past both sessions' ends
+      input.addData(ev(5, "a.example", 500))
+      q.processAllAvailable()
+      val got = spark.table("bursts_out")
+        .select("host", "attempted", "burst_sec")
+        .as[(String, Long, Long)].collect().sortBy(_._3)
+      assert(got.length >= 2, s"two separated bursts must emit: ${got.toSeq}")
+      val chained = got.find(_._2 == 3).getOrElse(fail(s"no 3-event burst: ${got.toSeq}"))
+      assert(chained._3 === 22L, "burst spans first event to last event + gap")
+      assert(got.exists(g => g._2 == 1 && g._3 == 10L), "singleton burst = gap length")
+    } finally q.stop()
+  }
 }

@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *     hi→xl = 4→16 ratio and the local[16] HEADLINE throughput
   *     (BASELINE.json metric: URLs fetched+extracted per second) come
   *     from the same trials — one artifact carries the whole regime
-  *     argument (round-2 advice).
+  *     argument (round-2 advice). Leftover budget after the triples is
+  *     spent on extra lo/hi GATE PAIRS (the pair the ≥0.8 rule judges):
+  *     on a noisy host where one triple eats the budget, each extra
+  *     pair is another chance for the per-level min to land calm.
   *   - WHY 1→4 is the gate: the rule's regime is compute ≫ per-wave
   *     coordination at both cluster sizes. A 300k-URL wave carries
   *     W ≈ 90-130 core-s; at local[16] it computes in <5 s, so 4→16
@@ -232,6 +235,13 @@ object Bench {
     // inherit the warmth)
     crawlRun(headlineCores, headlineCores, corpusDir, synthCfg)
 
+    // host ceiling BEFORE the trials (and again after — the existing
+    // post-probe): a lo-level crawl can run 10+ minutes on a stolen
+    // host, so a single probe 20 minutes away can misrepresent the
+    // window the gate pair actually ran in. Pre+post brackets it.
+    val probeLoPre = cpuProbeRun(loC)
+    val probeHiPre = cpuProbeRun(hiC)
+
     // interleaved trials: the sandbox host carries time-varying neighbor
     // load (up to 7× wall swings within minutes, only partly visible as
     // steal), so alternate lo/hi pairs and take each level's MINIMUM —
@@ -244,34 +254,48 @@ object Bench {
     // budget (a missing BENCH artifact is worse than a fewer-trial one)
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "560").toInt
     val tStart = System.nanoTime()
-    val runs = scala.collection.mutable.ArrayBuffer.empty[(CrawlTiming, CrawlTiming, CrawlTiming)]
+    val xlRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
+    val loRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
+    val hiRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
+    def elapsed() = (System.nanoTime() - tStart) / 1e9
     var worstTripleSec = 0.0
     var i = 0
-    while (i < trials && (i == 0 ||
-        (System.nanoTime() - tStart) / 1e9 + worstTripleSec * 1.1 < budgetSec)) {
-      val t = (crawlRun(xlC, xlC, corpusDir, synthCfg),
-        crawlRun(loC, hiC, corpusDir, synthCfg), // gate pair: SAME
-        crawlRun(hiC, hiC, corpusDir, synthCfg)) // partitioning (= hiC)
-      runs += t
-      worstTripleSec = math.max(worstTripleSec,
-        t._1.wallSec + t._2.wallSec + t._3.wallSec)
+    while (i < trials && (i == 0 || elapsed() + worstTripleSec * 1.1 < budgetSec)) {
+      val xl = crawlRun(xlC, xlC, corpusDir, synthCfg)
+      val lo = crawlRun(loC, hiC, corpusDir, synthCfg) // gate pair: SAME
+      val hi = crawlRun(hiC, hiC, corpusDir, synthCfg) // partitioning (= hiC)
+      xlRuns += xl; loRuns += lo; hiRuns += hi
+      worstTripleSec = math.max(worstTripleSec, xl.wallSec + lo.wallSec + hi.wallSec)
       i += 1
     }
-    val xlSecs = runs.map(_._1.wallSec).toSeq
-    val loSecs = runs.map(_._2.wallSec).toSeq
-    val hiSecs = runs.map(_._3.wallSec).toSeq
+    // a noisy host can leave only ONE triple inside the budget — min-of-1
+    // is not an estimator. Spend whatever budget remains on extra GATE
+    // PAIRS only (lo+hi, the pair the ≥0.8 north rule is judged on; the
+    // xl headline already has its warmup run + trial 1): each pair is
+    // another chance for the per-level minimum to land in a calm moment.
+    var worstPairSec = (loRuns.map(_.wallSec) zip hiRuns.map(_.wallSec)).map(p => p._1 + p._2).max
+    var extraPairs = 0
+    while (extraPairs < 2 * trials && elapsed() + worstPairSec * 1.1 < budgetSec) {
+      val lo = crawlRun(loC, hiC, corpusDir, synthCfg)
+      val hi = crawlRun(hiC, hiC, corpusDir, synthCfg)
+      loRuns += lo; hiRuns += hi
+      worstPairSec = math.max(worstPairSec, lo.wallSec + hi.wallSec)
+      extraPairs += 1
+    }
+    val xlSecs = xlRuns.map(_.wallSec).toSeq
+    val loSecs = loRuns.map(_.wallSec).toSeq
+    val hiSecs = hiRuns.map(_.wallSec).toSeq
     // a 2-sample "median" is the mean of one calm and one possibly-noisy
     // run — only meaningful from 3 trials up
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val medianMeaningful = runs.size >= 3
-    val headline = runs.map(_._1).minBy(_.wallSec)
-    val lo = runs.map(_._2).minBy(_.wallSec)
-    val hi = runs.map(_._3).minBy(_.wallSec)
-    require(runs.toSeq.flatMap(t => Seq(t._1.fetched, t._2.fetched, t._3.fetched))
-        .distinct.size == 1,
+    val medianMeaningful = loRuns.size >= 3
+    val headline = xlRuns.minBy(_.wallSec)
+    val lo = loRuns.minBy(_.wallSec)
+    val hi = hiRuns.minBy(_.wallSec)
+    require((xlRuns ++ loRuns ++ hiRuns).map(_.fetched).distinct.size == 1,
       s"determinism violation: fetched counts differ across runs/parallelism")
     def effAt(l: Double, h: Double, ratio: Double) = (l / h) / ratio
     def eff(l: Double, h: Double) = effAt(l, h, hiC.toDouble / loC)
@@ -297,7 +321,8 @@ object Bench {
         s""""queries_total_sec":${f(totalQuerySec)},"entry_wave_sec":${f(entrySec)},""" +
         s""""crawl":{"corpus_pages":${synthCfg.totalRows},"fetched_urls":${lo.fetched},""" +
         s""""headline_cores":$headlineCores,""" +
-        s""""cores_small":$loC,"cores_large":$hiC,"cores_xl":$xlC,"trials":${runs.size},""" +
+        s""""cores_small":$loC,"cores_large":$hiC,"cores_xl":$xlC,"trials":${xlRuns.size},""" +
+        s""""extra_gate_pairs":$extraPairs,""" +
         s""""sec_local$loC":${f(lo.wallSec)},"sec_local$hiC":${f(hi.wallSec)},""" +
         s""""sec_local$xlC":${f(headline.wallSec)},""" +
         s""""trials_sec_local$loC":${arr(loSecs)},"trials_sec_local$hiC":${arr(hiSecs)},""" +
@@ -320,7 +345,9 @@ object Bench {
         s"The $hiC-to-$xlC ratio measures per-task fixed costs + per-wave stage-barrier " +
         "latency that vanish when cluster tasks are minutes long; reported for " +
         "transparency.\"," +
+        s""""host_cpu_probe_pre":{"sec_local$loC":${f(probeLoPre)},"sec_local$hiC":${f(probeHiPre)},""" +
+        s""""efficiency":${f(eff(probeLoPre, probeHiPre))}},""" +
         s""""host_cpu_probe":{"sec_local$loC":${f(probeLo)},"sec_local$hiC":${f(probeHi)},""" +
-        s""""efficiency":${f(probeEff)},"note":"embarrassingly-parallel codegen'd hash job measured in the same window - the host's N-to-4N ceiling"}}}""")
+        s""""efficiency":${f(probeEff)},"note":"embarrassingly-parallel codegen'd hash job; pre runs before the trials, post after - together they bracket the host's N-to-4N ceiling over the trial window"}}}""")
   }
 }

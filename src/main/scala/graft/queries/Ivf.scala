@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   *     at the driver so nearest-by-cosine ≡ argmax dot. K×dim doubles
   *     (64×64 here) travel as ONE plan literal — never a shuffle, and
   *     the codegen'd assignment pass streams the corpus exactly once.
-  *   - assignment: per-vector argmax over the centroid matrix via
-  *     higher-order functions (zip_with/aggregate/transform) — no UDF,
-  *     whole-stage codegen, embarrassingly parallel.
+  *   - assignment: per-vector argmax over the centroid matrix via the
+  *     fused [[graft.functions.ArgMaxDot]] expression — a primitive
+  *     loop with doGenCode (the higher-order-function formulation is
+  *     CodegenFallback), whole-stage codegen, embarrassingly parallel.
   *   - the cell id is a PHYSICAL layout key: at scale the assignment
   *     is written `partitionBy("cell")` (or bucketed), so a query's
   *     candidate scan is partition-PRUNED to nprobe cells — the read
@@ -41,6 +42,19 @@ object Ivf {
     aggregate(zip_with(a, b, (x, w) => x.cast("double") * w),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Higher-order-function twin of [[graft.functions.DotMatrix]] — kept
+    * for the spec equivalence pin (the lambdas are CodegenFallback, so
+    * the fused expression is what production paths use). */
+  def dotsColHof(emb: Column, cs: Seq[Seq[Double]]): Column = {
+    val c = typedLit(cs)
+    transform(sequence(lit(0), lit(cs.size - 1)), j => dotCol(emb, element_at(c, j + 1)))
+  }
+
+  def cellColHof(emb: Column, cs: Seq[Seq[Double]]): Column = {
+    val dots = dotsColHof(emb, cs)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
   /** K deterministic, L2-normalized coarse centroids: the K vectors
     * with the smallest xxhash64(vec_id) (seeded, order-stable). One
     * TakeOrdered job over (hash, id) pairs; only K embeddings reach
@@ -59,15 +73,11 @@ object Ivf {
     }
   }
 
-  /** Array of K dot products of `emb` against the centroid literal. */
-  private def dotsCol(emb: Column, c: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), j => dotCol(emb, element_at(c, j + 1)))
-
-  /** Cell id = argmax dot (first index on exact ties — deterministic). */
-  def cellCol(emb: Column, c: Column, k: Int): Column = {
-    val dots = dotsCol(emb, c, k)
-    (array_position(dots, array_max(dots)) - 1).cast("int")
-  }
+  /** Cell id = argmax dot (first index on exact ties — deterministic).
+    * Fused custom expression ([[graft.functions.ArgMaxDot]]): one
+    * primitive loop per vector, inside whole-stage codegen. */
+  def cellCol(emb: Column, cs: Seq[Seq[Double]]): Column =
+    graft.functions.DotMatrix.argMax(emb, cs)
 
   /** (vec_id, cell) assignment for the whole corpus — one codegen'd
     * linear pass. Returns an empty 2-column frame on an empty corpus
@@ -77,9 +87,8 @@ object Ivf {
     if (cs.isEmpty)
       return embeddings.sparkSession.emptyDataFrame
         .withColumn("vec_id", lit(0L)).withColumn("cell", lit(0)).limit(0)
-    val c = typedLit(cs)
     embeddings.select(col("vec_id"),
-      cellCol(col("embedding"), c, cs.size).as("cell"))
+      cellCol(col("embedding"), cs).as("cell"))
   }
 
   /** IVF top-k for the query vector `vec_id = queryId`: rank all K
@@ -98,12 +107,13 @@ object Ivf {
         .withColumn("vec_id", lit(0L)).withColumn("cell", lit(0))
         .withColumn("cos_sim", lit(0.0)).limit(0)
     val kk = cs.size
-    val c = typedLit(cs)
     val np = math.min(nprobe, kk)
 
     // 1-row query side: embedding + its ranked probe list. struct sort
-    // is lexicographic (neg-dot asc, cell asc) — deterministic.
-    val qdots = dotsCol(col("qe"), c, kk)
+    // is lexicographic (neg-dot asc, cell asc) — deterministic. The
+    // fused kernel computes the dots; the rank/slice lambdas run on ONE
+    // row, so their interpreted eval is irrelevant.
+    val qdots = graft.functions.DotMatrix(col("qe"), cs)
     val ranked = array_sort(transform(sequence(lit(0), lit(kk - 1)),
       j => struct((-element_at(qdots, j + 1)).as("nd"), j.cast("int").as("cell"))))
     val probes = transform(slice(ranked, 1, np), s => s.getField("cell"))
@@ -113,7 +123,7 @@ object Ivf {
 
     embeddings.filter(col("vec_id") =!= queryId)
       .select(col("vec_id"), col("embedding"),
-        cellCol(col("embedding"), c, kk).as("cell"))
+        cellCol(col("embedding"), cs).as("cell"))
       .crossJoin(broadcast(q))
       .filter(array_contains(col("__probes"), col("cell")))
       .select(col("vec_id"), col("cell"),

@@ -281,12 +281,12 @@ object TextQueries {
         (((h % 2) + 2) % 2).toDouble * 2.0 - 1.0
       }
     }
-    val w = typedLit(weights)
-    val dots = transform(sequence(lit(0), lit(nPlanes - 1)), j =>
-      aggregate(
-        zip_with(col("embedding"), element_at(w, j + 1),
-          (x, wi) => x.cast("double") * wi),
-        lit(0.0), (acc, v) => acc + v))
+    // fused constant-matrix kernel (graft.functions.DotMatrix): the
+    // higher-order lambdas are CodegenFallback — one interpreted closure
+    // call per element per plane; the custom expression is a primitive
+    // loop inside whole-stage codegen with identical arithmetic
+    // (GraftFunctionsSpec pins ≡ the higher-order twin)
+    val dots = graft.functions.DotMatrix(col("embedding"), weights)
     val withDots = embeddings.select(col("vec_id"), dots.as("__dots"))
     val bands = (0 until nBands).map { b =>
       val bits = (0 until bitsPerBand).map { k =>

@@ -26,4 +26,41 @@ class GraftFunctionsSpec extends SparkSpec {
       .select("url_hash").collect().map(_.getLong(0)).toSet
     assert(rows.map(_.getLong(0)).toSet === viaDf)
   }
+
+  test("DotMatrix/ArgMaxDot ≡ higher-order twin, codegen'd, null-safe") {
+    import spark.implicits._
+    val matrix: Seq[Seq[Double]] = Seq(
+      Seq(1.0, -1.0, 0.5, 0.25), Seq(-0.75, 2.0, 0.0, 1.0),
+      Seq(0.1, 0.2, 0.3, 0.4))
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Array(-0.5f, 0.25f, -1.5f, 2.5f)),
+      (3L, Array(0f, 0f, 0f, 0f)), // all-zero: tie → first row wins
+      (4L, null.asInstanceOf[Array[Float]]))
+    val df = vecs.toDF("id", "emb")
+    val got = df.select(col("id"),
+      graft.functions.DotMatrix(col("emb"), matrix).as("dots"),
+      graft.functions.DotMatrix.argMax(col("emb"), matrix).as("am"),
+      graft.queries.Ivf.dotsColHof(col("emb"), matrix).as("dots_hof"),
+      graft.queries.Ivf.cellColHof(col("emb"), matrix).as("am_hof"))
+    val rows = got.collect().sortBy(_.getLong(0))
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      assert(r.getSeq[Double](1) === r.getSeq[Double](3),
+        s"fused dots must equal higher-order dots for id ${r.getLong(0)}")
+      assert(r.getInt(2) === r.getInt(4),
+        s"fused argmax must equal higher-order argmax for id ${r.getLong(0)}")
+    }
+    assert(rows.last.isNullAt(1) && rows.last.isNullAt(2), "null emb → null out")
+    assert(rows(2).getInt(2) === 0, "exact tie keeps the first matrix row")
+    // the fused expressions stay INSIDE whole-stage codegen (a parquet
+    // scan — a local relation folds to LocalTableScan with no codegen
+    // stage at all)
+    val dir = java.nio.file.Files.createTempDirectory("dotm").toString
+    vecs.filter(_._2 != null).toDF("id", "emb").write.mode("overwrite").parquet(dir)
+    val plan = spark.read.parquet(dir)
+      .select(graft.functions.DotMatrix.argMax(col("emb"), matrix))
+      .queryExecution.executedPlan.toString()
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"fused kernel must not break codegen:\n${plan.take(500)}")
+  }
 }

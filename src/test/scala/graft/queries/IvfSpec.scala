@@ -87,6 +87,19 @@ class IvfSpec extends SparkSpec {
     assert(probedCount <= 2)
   }
 
+  test("assignment is one narrow codegen'd pass: no exchange in the plan") {
+    val dir = plantedDir()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val plan = Ivf.assign(e, 6).queryExecution.executedPlan.toString()
+    // centroid sampling is its own tiny TakeOrdered job; the corpus-wide
+    // assignment itself must be scan → project (the matrix rides as a
+    // literal), never a shuffle — that's what makes it linear at 10^10
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n${plan.take(600)}")
+    // executedPlan.toString marks codegen'd operators with a "*(n)" star
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"assignment project must stay codegen'd:\n${plan.take(600)}")
+  }
+
   test("registered queries run against testdata shape") {
     val dir = plantedDir()
     val assign = TextQueries.queries("q_ann_ivf_assign")(spark, dir)

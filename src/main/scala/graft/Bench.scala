@@ -169,6 +169,36 @@ object Bench {
     } finally spark.stop()
   }
 
+  /** Memory-BANDWIDTH ceiling probe: full-scan sum over ~2.4 GB of
+    * cached incompressible longs, ~1 GB x3 scans (xxhash64 of a range — a plain range
+    * run-length-compresses to nothing in the columnar cache). The CPU
+    * probe's working set lives in cache, so a host whose neighbors
+    * saturate the memory bus shows a perfect CPU ceiling while every
+    * page-heavy crawl stage drags 3-5× (measured 2026-08-17: CPU probes
+    * 1.00 both sides of a trial whose crawl ran 405/152/52 s vs calm
+    * 78/24/14). This probe scales only if the bus has headroom — the
+    * third disqualifier, next to steal and the CPU ceiling. */
+  private def memProbeRun(cores: Int): Double = {
+    val spark = session(cores, aqe = false, partitions = cores * 4)
+    try {
+      // ~1 GB: must fit the sbt-launched JVM's 4 GB heap next to the
+      // block manager's other tenants (a bigger cache evicts → the scan
+      // silently becomes a recompute benchmark, or OOMs the bench)
+      val df = spark.range(0L, 120000000L, 1L, cores * 4)
+        .select(xxhash64(col("id")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      // avg over double, not sum over long: 120M xxhash64 values
+      // overflow a long sum under ANSI mode
+      df.agg(avg(col("h").cast("double"))).collect() // materialize + warm
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < 3) { df.agg(avg(col("h").cast("double"))).collect(); r += 1 }
+      val s = (System.nanoTime() - t0) / 1e9
+      df.unpersist(blocking = true)
+      s
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -307,10 +337,13 @@ object Bench {
     // latency more than compute scaling — reported so the regime
     // argument is checkable from the artifact itself
     val effHiXl = effAt(hi.wallSec, headline.wallSec, xlC.toDouble / hiC)
-    // host ceiling in the same window (see cpuProbeRun doc)
+    // host ceilings in the same window (see cpuProbeRun/memProbeRun docs)
     val probeLo = cpuProbeRun(loC)
     val probeHi = cpuProbeRun(hiC)
     val probeEff = eff(probeLo, probeHi)
+    val memLo = memProbeRun(loC)
+    val memHi = memProbeRun(hiC)
+    val memEff = eff(memLo, memHi)
 
     def f(d: Double) = "%.4f".format(d)
     def arr(xs: Seq[Double]) = xs.map(f).mkString("[", ",", "]")
@@ -348,6 +381,8 @@ object Bench {
         s""""host_cpu_probe_pre":{"sec_local$loC":${f(probeLoPre)},"sec_local$hiC":${f(probeHiPre)},""" +
         s""""efficiency":${f(eff(probeLoPre, probeHiPre))}},""" +
         s""""host_cpu_probe":{"sec_local$loC":${f(probeLo)},"sec_local$hiC":${f(probeHi)},""" +
-        s""""efficiency":${f(probeEff)},"note":"embarrassingly-parallel codegen'd hash job; pre runs before the trials, post after - together they bracket the host's N-to-4N ceiling over the trial window"}}}""")
+        s""""efficiency":${f(probeEff)},"note":"embarrassingly-parallel codegen'd hash job; pre runs before the trials, post after - together they bracket the host's N-to-4N CPU ceiling over the trial window"},""" +
+        s""""host_mem_probe":{"sec_local$loC":${f(memLo)},"sec_local$hiC":${f(memHi)},""" +
+        s""""efficiency":${f(memEff)},"note":"3 full scans over ~1GB cached incompressible longs - the memory-BANDWIDTH ceiling; a bus-saturated neighbor shows a perfect CPU probe while every page-heavy crawl stage drags, so a low value here also disqualifies the window"}}}""")
   }
 }

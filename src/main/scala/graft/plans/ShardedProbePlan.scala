@@ -68,6 +68,12 @@ final case class ShardedProbe(
     copy(left = newLeft, right = newRight)
 }
 
+object ShardedProbe {
+  /** Columns the exec resolves by name — the construction-time contract. */
+  val FrontierKeyCols: Seq[String] = Seq("url_hash", "priority", "kind", "url")
+  val SketchCols: Seq[String] = Seq("shard", "bytes")
+}
+
 final case class ShardedProbeExec(
     nShards: Int,
     maxBufferRows: Long,
@@ -213,6 +219,18 @@ object GraftPlanner {
       maxBufferRows: Long): DataFrame = {
     val spark = frontier.sparkSession
     require(installed(spark), "GraftPlanner.install(spark) first")
+    // fail at PLAN CONSTRUCTION, not mid-execute: the exec resolves
+    // these columns by name, so a renamed/projected-away column is
+    // rejected here, before any job runs (round-3 advice). The check
+    // lives at this single construction point rather than in the node's
+    // constructor because Catalyst canonicalization clones the node
+    // with normalized ("none") attribute names.
+    require(ShardedProbe.FrontierKeyCols.forall(frontier.columns.contains),
+      s"ShardedProbe frontier side must carry ${ShardedProbe.FrontierKeyCols.mkString("/")}; " +
+        s"got ${frontier.columns.mkString(", ")}")
+    require(ShardedProbe.SketchCols.forall(shards.columns.contains),
+      s"ShardedProbe sketch side must carry ${ShardedProbe.SketchCols.mkString("/")}; " +
+        s"got ${shards.columns.mkString(", ")}")
     val node = ShardedProbe(
       org.apache.spark.sql.graft.ColumnBridge.logicalPlan(frontier),
       org.apache.spark.sql.graft.ColumnBridge.logicalPlan(shards),

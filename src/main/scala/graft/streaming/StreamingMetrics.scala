@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   *     never grows with stream lifetime, only with (active hosts ×
   *     in-flight windows), which is what makes this viable on a
   *     long-running 10^10-URL crawl;
-  *   - append-mode output emits each (window, host) row EXACTLY ONCE,
-  *     when the window closes — the natural feed for a metrics sink;
+  *   - append-mode output emits each (window, host) row once per query
+  *     run, when the window closes — the natural feed for a metrics
+  *     sink. (On checkpoint RECOVERY Structured Streaming re-delivers
+  *     the unacknowledged tail at-least-once; end-to-end exactly-once
+  *     needs an idempotent/transactional sink keyed on (window, host),
+  *     which the snapshot-catalog pattern provides.)
   *   - events later than the watermark are dropped, deterministically.
   */
 object StreamingMetrics {

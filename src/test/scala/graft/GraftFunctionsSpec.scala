@@ -63,4 +63,41 @@ class GraftFunctionsSpec extends SparkSpec {
     assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
       s"fused kernel must not break codegen:\n${plan.take(500)}")
   }
+
+  test("DotMatrix/ArgMaxDot malformed-input contract: loud nulls, both eval paths") {
+    import spark.implicits._
+    val matrix: Seq[Seq[Double]] = Seq(Seq(1.0, 2.0, 3.0), Seq(-1.0, 0.5, 0.0))
+    // (id, emb): 1 = well-formed, 2 = SHORT (dim mismatch), 3 = LONG,
+    // 4 = null element. Option[Float] elements force containsNull=true.
+    val rows: Seq[(Long, Seq[Option[Float]])] = Seq(
+      (1L, Seq(Some(1f), Some(2f), Some(3f))),
+      (2L, Seq(Some(1f), Some(2f))),
+      (3L, Seq(Some(1f), Some(2f), Some(3f), Some(4f))),
+      (4L, Seq(Some(1f), None, Some(3f))))
+    def check(df: org.apache.spark.sql.DataFrame): Unit = {
+      val got = df.select(col("id"),
+        graft.functions.DotMatrix(col("emb"), matrix).as("dots"),
+        graft.functions.DotMatrix.argMax(col("emb"), matrix).as("am"))
+        .collect().sortBy(_.getLong(0))
+      assert(!got(0).isNullAt(1) && got(0).getInt(2) === 0)
+      assert(got(0).getSeq[Double](1) === Seq(14.0, 0.0))
+      (1 to 3).foreach { i =>
+        assert(got(i).isNullAt(1), s"id ${i + 1}: malformed emb must null dots")
+        assert(got(i).isNullAt(2), s"id ${i + 1}: malformed emb must null argmax")
+      }
+    }
+    check(rows.toDF("id", "emb")) // LocalTableScan → interpreted eval
+    val dir = java.nio.file.Files.createTempDirectory("dotm-null").toString
+    rows.toDF("id", "emb").write.mode("overwrite").parquet(dir)
+    check(spark.read.parquet(dir)) // parquet scan → whole-stage codegen path
+  }
+
+  test("DotMatrix: empty or ragged matrix rejected at construction") {
+    intercept[IllegalArgumentException] {
+      graft.functions.DotMatrix.argMax(col("emb"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.DotMatrix(col("emb"), Seq(Seq(1.0, 2.0), Seq(3.0)))
+    }
+  }
 }

@@ -66,6 +66,28 @@ class ShardedProbePlanSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("maxBufferRows")))
   }
 
+  test("renamed/missing frontier column fails at plan construction, not execute") {
+    GraftPlanner.install(spark)
+    val shards = shardTable(Seq(1L), 100, 1).toDF()
+    val renamed = (1L to 5L).map(i =>
+      (s"u$i", i, "h", "b", "detail", 0, 0L, new java.sql.Timestamp(0L)))
+      .toDF("url", "url_hash", "host", "biz", "kind", "wave", "priority", "discovered_ts")
+      .withColumnRenamed("priority", "prio")
+    val e = intercept[IllegalArgumentException] {
+      GraftPlanner.probeDedupe(renamed, shards, 1, 1000000L) // no action issued
+    }
+    assert(e.getMessage.contains("priority"), e.getMessage)
+    // sketch side too: a shard table missing `bytes` is rejected up front
+    val e2 = intercept[IllegalArgumentException] {
+      GraftPlanner.probeDedupe(
+        (1L to 5L).map(i =>
+          (s"u$i", i, "h", "b", "detail", 0, 0L, new java.sql.Timestamp(0L)))
+          .toDF("url", "url_hash", "host", "biz", "kind", "wave", "priority", "discovered_ts"),
+        shards.withColumnRenamed("bytes", "blob"), 1, 1000000L)
+    }
+    assert(e2.getMessage.contains("bytes"), e2.getMessage)
+  }
+
   test("works under whole-stage-codegen consumers and filters downstream") {
     GraftPlanner.install(spark)
     val nShards = 2

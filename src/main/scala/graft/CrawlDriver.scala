@@ -68,6 +68,7 @@ object CrawlDriver {
     import spark.implicits._
     val emptyFetched = Seq.empty[graft.model.CrawlOrder].toDS().toDF()
       .withColumn("host", lit("")).withColumn("partition_id", lit(0))
+      .withColumn("discovered_ts", lit(null).cast("timestamp"))
     catalog.commit(0, wave = -1,
       tables = Map(
         "frontier" -> frontier0,

@@ -326,7 +326,8 @@ object Wave {
     val frontierNext = dedupeInBatch(deferred.unionByName(discovered)).persist(DISK)
 
     val fetchedTbl = toFetch.select(col("wave"), col("priority"),
-      col("url_hash"), col("url"), col("host"), col("partition_id"))
+      col("url_hash"), col("url"), col("host"), col("partition_id"),
+      col("discovered_ts"))
 
     // G4 ledger: every frontier-batch row's fate, with REAL per-partition
     // lineage — duplicate/denied rows record the partition that evaluated

@@ -21,9 +21,12 @@ object Tables {
   private def of[T: org.apache.spark.sql.Encoder]: StructType =
     implicitly[org.apache.spark.sql.Encoder[T]].schema
 
-  /** `fetched`: CrawlOrder + lineage columns (see Wave.run fetchedTbl). */
+  /** `fetched`: CrawlOrder + lineage columns + the fetch's event time
+    * (see Wave.run fetchedTbl) — the event time feeds the streaming
+    * telemetry adapter ([[graft.streaming.StreamingMetrics]]). */
   val fetched: StructType = of[CrawlOrder](Encoders.product[CrawlOrder])
     .add("host", StringType).add("partition_id", IntegerType)
+    .add("discovered_ts", TimestampType)
 
   /** `denied`: the robots-denied delta (url identity + host only). */
   val denied: StructType = StructType(Seq(

@@ -115,4 +115,116 @@ class StreamingSpec extends SparkSpec {
       assert(got.exists(g => g._2 == 1 && g._3 == 10L), "singleton burst = gap length")
     } finally q.stop()
   }
+
+  test("telemetry consumes REAL crawl output: committed fetched deltas, not fixtures") {
+    // round-3 verdict directive #3: run an actual CrawlDriver crawl,
+    // adapt its committed `fetched` deltas to the event stream, and pin
+    // the streaming rollup against a batch twin of the SAME events.
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingMetrics.FetchEvent
+    import graft.checkpoint.SnapshotCatalog
+    import graft.frontier.Wave
+    import graft.synth.{Synth, SynthConfig}
+    import org.apache.spark.sql.functions._
+
+    val cfg = SynthConfig(nAccounts = 4, articlesPerAccount = 8, longTail = 30)
+    val pagesIdx = Wave.pageIndex(Synth.pages(spark, cfg).toDF()).cache()
+    val dir = java.nio.file.Files.createTempDirectory("stream-crawl").toString
+    val catalog = new SnapshotCatalog(dir, spark)
+    val rc = graft.CrawlDriver.RunConfig(dir, nWaves = 2, seenCapacity = 50000L,
+      nShards = 4)
+    graft.CrawlDriver.init(spark, catalog, Synth.seedFrontier(spark, cfg).toDF(),
+      Synth.robots(spark, cfg).toDF(), Synth.budgets(spark, cfg).toDF(), rc)
+    graft.CrawlDriver.run(spark, catalog, pagesIdx, rc)
+
+    val eventsDs = StreamingMetrics.eventsFromCatalog(catalog, spark)
+    val events = eventsDs.collect().toSeq
+    assert(events.nonEmpty, "the crawl must have committed fetched rows")
+    assert(events.forall(_.fetch_ts != null), "every committed fetch carries its event time")
+    assert(events.exists(_.ok) && events.exists(!_.ok),
+      "a real run has extracted detail fetches (ok) AND discovery-only list fetches (!ok)")
+
+    // feed the stream in two batches: all but the latest-timestamped
+    // events, then those — batch 2's trigger advances the watermark to
+    // wm = max(batch1), closing every window that ends before it
+    val maxMs = events.map(_.fetch_ts.getTime).max
+    val (tail, head) = events.partition(_.fetch_ts.getTime == maxMs)
+    val wmMs = head.map(_.fetch_ts.getTime).max
+    val windowSec = 3600
+    val input = MemoryStream[FetchEvent]
+    val out = StreamingMetrics.windowed(input.toDS(), windowSec = windowSec,
+      watermarkSec = 0)
+    val q = out.writeStream.format("memory").queryName("real_metrics")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(head: _*); q.processAllAvailable()
+      input.addData(tail: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch twin over the identical committed events
+    val batch = eventsDs.toDF()
+      .groupBy(window(col("fetch_ts"), s"$windowSec seconds"), col("host"))
+      .agg(count(lit(1)).as("attempted"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("fetched_extracted"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("host"), col("attempted"), col("fetched_extracted"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    val got = spark.table("real_metrics")
+      .select("win_start", "win_end", "host", "attempted", "fetched_extracted")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    // every emitted row is exactly its batch twin
+    got.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"stream row $k=$v must equal batch ${batch.get(k)}")
+    }
+    // two-sided closure bound, agnostic to the end==watermark edge and
+    // to whether the final no-data micro-batch ran: after the last
+    // batch the watermark is maxMs (delay 0), and everything that ended
+    // strictly before the PREVIOUS watermark (wmMs) must already have
+    // emitted; nothing ending after maxMs may emit
+    val mustClose = batch.keySet.filter(_._2 < wmMs)
+    val mayClose = batch.keySet.filter(_._2 <= maxMs)
+    assert(mustClose.subsetOf(got.keySet),
+      s"windows ending before the watermark must have emitted (missing ${mustClose -- got.keySet})")
+    assert(got.keySet.subsetOf(mayClose),
+      "no window past the watermark may emit")
+    assert(mustClose.nonEmpty, "the real corpus must span multiple windows")
+
+    // session bursts over the same real stream: emitted sessions match
+    // the batch session_window rollup under the same two-sided bound
+    val gapSec = 7200
+    val input2 = MemoryStream[FetchEvent]
+    val out2 = StreamingMetrics.bursts(input2.toDS(), gapSec = gapSec, watermarkSec = 0)
+    val q2 = out2.writeStream.format("memory").queryName("real_bursts")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input2.addData(head: _*); q2.processAllAvailable()
+      input2.addData(tail: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val batchSessions = eventsDs.toDF()
+      .groupBy(session_window(col("fetch_ts"), s"$gapSec seconds"), col("host"))
+      .agg(count(lit(1)).as("attempted"))
+      .select(col("session_window.start").as("s"), col("session_window.end").as("e"),
+        col("host"), col("attempted"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2)) -> r.getLong(3)).toMap
+    val gotSessions = spark.table("real_bursts")
+      .select("burst_start", "burst_end", "host", "attempted")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2)) -> r.getLong(3)).toMap
+    gotSessions.foreach { case (k, v) =>
+      assert(batchSessions.get(k).contains(v),
+        s"burst $k=$v must equal batch session ${batchSessions.get(k)}")
+    }
+    val mustCloseS = batchSessions.keySet.filter(_._2 < wmMs)
+    assert(mustCloseS.subsetOf(gotSessions.keySet),
+      s"sessions ending before the watermark must have emitted (missing ${mustCloseS -- gotSessions.keySet})")
+    assert(gotSessions.keySet.subsetOf(batchSessions.keySet.filter(_._2 <= maxMs)))
+    assert(mustCloseS.nonEmpty)
+  }
 }

@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through RAW: sbt's default LoggedOutput
+// prefixes every line with "[info] ", which breaks any harness that
+// parses a bare JSON line from `sbt runMain` stdout (the Bench
+// contract prints ONE JSON line; three rounds of driver artifacts
+// show "parsed": null because of the prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -433,6 +433,36 @@ object CrawlDriver {
     val totalArticles = catalog.readDeltasUpTo(catalog.latest.get, "articles_delta").count()
     val totalSeen = catalog.readDeltasUpTo(catalog.latest.get, "fetched").count()
     println(s"[crawl] done: snapshots=${catalog.latest.get} articles=$totalArticles seen=$totalSeen dir=$dir")
+
+    // streaming telemetry over the run's OWN committed output (R3/R4
+    // wired to real crawl events — StreamingSpec pins the semantics;
+    // this is the operator-facing view): replay the fetched deltas
+    // through the watermarked tumbling rollup and print the busiest
+    // closed windows. GRAFT_TELEMETRY=0 to skip.
+    if (sys.env.getOrElse("GRAFT_TELEMETRY", "1") == "1") {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val events = graft.streaming.StreamingMetrics
+        .eventsFromCatalog(catalog, spark).collect().toSeq
+      if (events.nonEmpty) {
+        val input = MemoryStream[graft.streaming.StreamingMetrics.FetchEvent]
+        val q = graft.streaming.StreamingMetrics.windowed(input.toDS(), windowSec = 3600)
+          .writeStream.format("memory").queryName("crawl_telemetry")
+          .outputMode("append").start()
+        try {
+          val maxMs = events.map(_.fetch_ts.getTime).max
+          val (last, first) = events.partition(_.fetch_ts.getTime == maxMs)
+          input.addData(first: _*); q.processAllAvailable()
+          input.addData(last: _*); q.processAllAvailable()
+        } finally q.stop()
+        val top = spark.table("crawl_telemetry")
+          .orderBy(col("fetched_extracted").desc, col("win_start").asc, col("host").asc)
+          .limit(5).collect()
+        println(s"[telemetry] closed (window,host) rows=${spark.table("crawl_telemetry").count()}; busiest:")
+        top.foreach(r => println(s"[telemetry]   ${r.mkString(" | ")}"))
+      }
+    }
     spark.stop()
   }
 }

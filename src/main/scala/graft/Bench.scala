@@ -71,6 +71,13 @@ object Bench {
       // table: broadcast it instead of shuffling the whole page index
       // to disk (at cluster scale the same join is a bucketed SMJ)
       .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+      // at local[1] the broadcast-build job queues behind the pipelined
+      // commit's bulk write on the ONE task slot — with ~150 s waves the
+      // default 300 s broadcastTimeout fires while the broadcast is
+      // merely queued, not slow (killed a full bench run 2026-08-17).
+      // A real cluster always has a free slot somewhere; the timeout is
+      // a sandbox artifact at 1 core, so give it the whole run.
+      .config("spark.sql.broadcastTimeout", "3600")
       // shuffle/spill files on tmpfs too (see the BenchDir note): a
       // cluster's shuffle storage scales with N; one local ext4 disk
       // doesn't
@@ -164,6 +171,22 @@ object Bench {
 
   private def deleteDir(p: String): Unit =
     SnapshotCatalog.deleteRecursively(java.nio.file.Paths.get(p))
+
+  /** Failed-and-retried crawl runs (each costs one retry, never the whole
+    * artifact — a 53-minute bench died to ONE transient broadcast timeout
+    * on 2026-08-17; the root cause is fixed in [[session]] but any
+    * residual transient must not zero the evidence). Reported in the JSON. */
+  private var failedRuns = 0
+
+  private def crawlRunSafe(cores: Int, partitions: Int, pagesDir: String,
+      synthCfg: SynthConfig): CrawlTiming =
+    try crawlRun(cores, partitions, pagesDir, synthCfg)
+    catch {
+      case e: Throwable =>
+        failedRuns += 1
+        System.err.println(s"[bench] crawlRun(local[$cores]) failed, retrying once: $e")
+        crawlRun(cores, partitions, pagesDir, synthCfg)
+    }
 
   /** Host-scaling reference: an embarrassingly parallel, shuffle-free,
     * codegen'd job (chained xxhash64 over a range) at the same core
@@ -307,7 +330,7 @@ object Bench {
     // OS page cache are JVM/host-wide, so the scaling trials below
     // inherit the warmth). The warmup DOUBLES as the host-degradation
     // estimator for adaptive corpus sizing below.
-    var warm = crawlRun(headlineCores, headlineCores, corpusDir, synthCfg)
+    var warm = crawlRunSafe(headlineCores, headlineCores, corpusDir, synthCfg)
 
     // ---- ADAPTIVE SIZING (round-3 verdict #1) ----------------------
     // r3 failure mode: a 5x-degraded host ate the whole budget with ONE
@@ -333,7 +356,7 @@ object Bench {
         val from = synthCfg.totalRows
         synthCfg = cfgFor(scaled)
         corpusDir = corpusFor(synthCfg)
-        warm = crawlRun(headlineCores, headlineCores, corpusDir, synthCfg)
+        warm = crawlRunSafe(headlineCores, headlineCores, corpusDir, synthCfg)
         from
       } else 0
 
@@ -356,9 +379,9 @@ object Bench {
     var i = 0
     while (i < trials && (i == 0 || elapsed() + worstTripleSec * 1.1 < budgetSec)) {
       val t0 = elapsed()
-      val xl = crawlRun(xlC, xlC, corpusDir, synthCfg)
-      val lo = crawlRun(loC, hiC, corpusDir, synthCfg) // gate pair: SAME
-      val hi = crawlRun(hiC, hiC, corpusDir, synthCfg) // partitioning (= hiC)
+      val xl = crawlRunSafe(xlC, xlC, corpusDir, synthCfg)
+      val lo = crawlRunSafe(loC, hiC, corpusDir, synthCfg) // gate pair: SAME
+      val hi = crawlRunSafe(hiC, hiC, corpusDir, synthCfg) // partitioning (= hiC)
       xlRuns += xl; loRuns += lo; hiRuns += hi
       worstTripleSec = math.max(worstTripleSec, elapsed() - t0)
       i += 1
@@ -371,8 +394,8 @@ object Bench {
     var extraPairs = 0
     while (extraPairs < 2 * trials && elapsed() + worstPairSec * 1.1 < budgetSec) {
       val t0 = elapsed()
-      val lo = crawlRun(loC, hiC, corpusDir, synthCfg)
-      val hi = crawlRun(hiC, hiC, corpusDir, synthCfg)
+      val lo = crawlRunSafe(loC, hiC, corpusDir, synthCfg)
+      val hi = crawlRunSafe(hiC, hiC, corpusDir, synthCfg)
       loRuns += lo; hiRuns += hi
       worstPairSec = math.max(worstPairSec, elapsed() - t0)
       extraPairs += 1
@@ -405,8 +428,8 @@ object Bench {
         requalPairs < 4 * trials &&
         elapsed() + recentPairSec * 1.2 < hardCeilSec) {
       val t0 = elapsed()
-      val lo = crawlRun(loC, hiC, corpusDir, synthCfg)
-      val hi = crawlRun(hiC, hiC, corpusDir, synthCfg)
+      val lo = crawlRunSafe(loC, hiC, corpusDir, synthCfg)
+      val hi = crawlRunSafe(hiC, hiC, corpusDir, synthCfg)
       loRuns += lo; hiRuns += hi
       memLo = memProbeRun(loC)
       memHi = memProbeRun(hiC)
@@ -468,7 +491,7 @@ object Bench {
         s""""headline_cores":$headlineCores,""" +
         s""""cores_small":$loC,"cores_large":$hiC,"cores_xl":$xlC,"trials":${xlRuns.size},""" +
         s""""extra_gate_pairs":$extraPairs,"requal_pairs":$requalPairs,""" +
-        s""""gate_pairs_total":${loRuns.size},""" +
+        s""""gate_pairs_total":${loRuns.size},"failed_runs":$failedRuns,""" +
         s""""window_qualified":$windowQualified,""" +
         s""""sec_local$loC":${f(lo.wallSec)},"sec_local$hiC":${f(hi.wallSec)},""" +
         s""""sec_local$xlC":${f(headline.wallSec)},""" +

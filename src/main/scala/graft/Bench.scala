@@ -423,7 +423,15 @@ object Bench {
     val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1100").toInt
     val hardCeilSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CEILING_SEC", "2300").toInt
-    val minRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_ROWS", "60000").toInt
+    // GATE-corpus floor: eff = (W+F)/(W/4+F)/4 with W = 1-core compute
+    // and F = per-run fixed cost (driver floor: plans, commit barriers,
+    // run-constant jobs — measured F≈16.6 s, W≈68 s from a calm 64k-page
+    // pair: lo 84.7 s / hi 33.6 s, steal 2.6-6.2%). eff ≥ 0.8 needs
+    // W ≥ 11F ≈ 183 s ⇒ ≥ ~130k URLs at the measured ~700 urls/s·core —
+    // a 60k corpus CANNOT reach 0.8 regardless of host calm (its ceiling
+    // is ~0.63). On a cluster the same F amortizes under minutes-long
+    // waves; in the sandbox the floor must be bought with corpus size.
+    val minRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_ROWS", "140000").toInt
     // v5.2 priors from measured v5.1 artifacts (2026-08-17, 190k corpus):
     // per-core crawl throughput is roughly FLAT across levels (376 vs
     // 392 urls/s·core at local[1] vs local[16]), so lo/xl wall ≈ the

@@ -6,6 +6,8 @@ import graft.synth.{Synth, SynthConfig}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import scala.util.control.NonFatal
+
 /** Benchmark main (driver contract): prints ONE JSON line.
   *
   * Phase 1 — operator battery timings on SPARK_GRAFT_SF_DIR at
@@ -22,17 +24,39 @@ import org.apache.spark.sql.functions._
   *     (BASELINE.json metric: URLs fetched+extracted per second) come
   *     from the same trials — one artifact carries the whole regime
   *     argument (round-2 advice). Leftover budget after the triples is
-  *     spent on extra lo/hi GATE PAIRS (the pair the ≥0.8 rule judges):
-  *     on a noisy host where one triple eats the budget, each extra
-  *     pair is another chance for the per-level min to land calm.
+  *     spent on extra lo/hi GATE PAIRS (the pair the ≥0.8 rule judges).
   *   - WHY 1→4 is the gate: the rule's regime is compute ≫ per-wave
   *     coordination at both cluster sizes. A 300k-URL wave carries
   *     W ≈ 90-130 core-s; at local[16] it computes in <5 s, so 4→16
   *     measures residual per-wave latency (stage barriers + per-task
   *     fixed costs that vanish when tasks are minutes long), not the
-  *     engine — reported anyway as scaling_efficiency_4_to_16. The
-  *     host_cpu_probe in the JSON gives the host's own ceiling in the
-  *     same window.
+  *     engine — reported anyway as scaling_efficiency_4_to_16.
+  *
+  * PROTOCOL v6 — CRASH-PROOF + GLOBALLY WALL-BOUNDED (round-4 verdict
+  * #1-#4: BENCH_r04 was rc=124/parsed=null — a mid-run SparkContext
+  * death, a blind retry over the corpse, then a hang to the driver's
+  * timeout; the artifact's sole purpose is the JSON line and none was
+  * emitted):
+  *   - ONE wall budget (SPARK_GRAFT_BENCH_TOTAL_SEC, default 1900 s)
+  *     metered from MAIN ENTRY — battery, corpus builds, probes, warmups
+  *     and trials all count against it; every loop/stage checks the
+  *     remaining budget before starting more work, reserving tail room
+  *     for the post-probes + emission.
+  *   - the artifact is emitted INCREMENTALLY (BENCH_LOCAL.json rewritten
+  *     after every stage and every gate pair) and the final line prints
+  *     from a try/finally with `failed`/`fail_reason`/`stage` fields —
+  *     an exception anywhere still yields a complete, parseable line
+  *     with everything measured so far.
+  *   - determinism is REPORTED (`determinism_ok`), not a pre-emptive
+  *     `require` that zeroes 40 minutes of evidence.
+  *   - session churn is recovery-aware: a stopped-but-still-registered
+  *     SparkContext (the r4 killer) is detected and cleared via
+  *     [[org.apache.spark.graft.ContextRecovery]] before every
+  *     getOrCreate; failed crawl runs retry once on a RESET session and
+  *     then SKIP (failed_runs counts them) instead of dying.
+  *   - a daemon WATCHDOG prints the last saved artifact and halts the
+  *     JVM if main overruns the budget by 120 s (a hang inside a Spark
+  *     call can no longer produce an empty artifact).
   *
   * Politeness budgets are sized above the corpus (the token-bucket
   * machinery runs but never binds) so the number measures engine
@@ -50,6 +74,22 @@ object Bench {
     d
   }
 
+  // ------------------------------------------------------------------
+  // Session lifecycle (recovery-aware — round-4 verdict #4)
+  // ------------------------------------------------------------------
+
+  /** Drop every stale session/context registration so the next
+    * getOrCreate builds from scratch. Safe to call at any time. */
+  private def resetSessions(): Unit = {
+    def stopQuietly(s: SparkSession): Unit =
+      try { if (!s.sparkContext.isStopped) s.stop() } catch { case NonFatal(_) => () }
+    SparkSession.getActiveSession.foreach(stopQuietly)
+    SparkSession.getDefaultSession.foreach(stopQuietly)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    org.apache.spark.graft.ContextRecovery.clearStopped()
+  }
+
   /** AQE stays ON for the operator battery (skewed ad-hoc joins) but
     * OFF for the crawl loop: the loop's partitioning is already explicit
     * and data-derived (host-salted buckets, shard-keyed cogroups,
@@ -58,35 +98,63 @@ object Bench {
     * local[16]: +33% task time, GC 45.8s→1.0s and wall 21.3s→14.8s
     * after turning it off (BenchProbe, 321k-page corpus). On a cluster
     * the same explicit layout holds; AQE would be re-enabled only for
-    * the skew-join safety net on operator queries. */
+    * the skew-join safety net on operator queries.
+    *
+    * This JVM churns 20+ sessions per bench; getOrCreate cannot recover
+    * from a stopped-but-registered context on its own (BENCH_r04's
+    * crash), so the builder loop clears stale registrations and retries
+    * until the returned context is demonstrably fresh. */
   private def session(cores: Int, aqe: Boolean, partitions: Int): SparkSession = {
-    val s = SparkSession.builder()
-      .master(s"local[$cores]")
-      .appName(s"graft-bench-$cores-$aqe-$partitions")
-      .config("spark.sql.shuffle.partitions", partitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", aqe.toString))
-      // the per-wave frontier slice is always tiny next to the pages
-      // table: broadcast it instead of shuffling the whole page index
-      // to disk (at cluster scale the same join is a bucketed SMJ)
-      .config("spark.sql.autoBroadcastJoinThreshold", "128m")
-      // at local[1] the broadcast-build job queues behind the pipelined
-      // commit's bulk write on the ONE task slot — with ~150 s waves the
-      // default 300 s broadcastTimeout fires while the broadcast is
-      // merely queued, not slow (killed a full bench run 2026-08-17).
-      // A real cluster always has a free slot somewhere; the timeout is
-      // a sandbox artifact at 1 core, so give it the whole run.
-      .config("spark.sql.broadcastTimeout", "3600")
-      // shuffle/spill files on tmpfs too (see the BenchDir note): a
-      // cluster's shuffle storage scales with N; one local ext4 disk
-      // doesn't
-      .config("spark.local.dir", BenchDir)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    s.sparkContext.setLogLevel("ERROR")
-    graft.plans.GraftPlanner.install(s) // custom ShardedProbeExec on the hot path
-    s
+    var attempt = 0
+    var out: SparkSession = null
+    while (out == null) {
+      if (org.apache.spark.graft.ContextRecovery.activeStopped) {
+        System.err.println("[bench] clearing stopped-but-registered SparkContext")
+        resetSessions()
+      }
+      try {
+        val s = SparkSession.builder()
+          .master(s"local[$cores]")
+          .appName(s"graft-bench-$cores-$aqe-$partitions")
+          .config("spark.sql.shuffle.partitions", partitions.toString)
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.adaptive.enabled",
+            sys.env.getOrElse("SPARK_GRAFT_AQE", aqe.toString))
+          // the per-wave frontier slice is always tiny next to the pages
+          // table: broadcast it instead of shuffling the whole page index
+          // to disk (at cluster scale the same join is a bucketed SMJ)
+          .config("spark.sql.autoBroadcastJoinThreshold", "128m")
+          // at local[1] the broadcast-build job queues behind the pipelined
+          // commit's bulk write on the ONE task slot — with ~150 s waves the
+          // default 300 s broadcastTimeout fires while the broadcast is
+          // merely queued, not slow (killed a full bench run 2026-08-17).
+          // A real cluster always has a free slot somewhere; the timeout is
+          // a sandbox artifact at 1 core, so give it the whole run.
+          .config("spark.sql.broadcastTimeout", "3600")
+          // shuffle/spill files on tmpfs too (see the BenchDir note): a
+          // cluster's shuffle storage scales with N; one local ext4 disk
+          // doesn't
+          .config("spark.local.dir", BenchDir)
+          .config("spark.ui.enabled", "false")
+          .getOrCreate()
+        if (s.sparkContext.isStopped) {
+          // the race handed us a stopping context — clear and rebuild
+          resetSessions()
+          throw new IllegalStateException("getOrCreate returned a stopped context")
+        }
+        out = s
+      } catch {
+        case NonFatal(e) if attempt < 5 =>
+          attempt += 1
+          System.err.println(s"[bench] session build failed (attempt $attempt), " +
+            s"resetting and retrying: $e")
+          resetSessions()
+          Thread.sleep(1000L * attempt)
+      }
+    }
+    out.sparkContext.setLogLevel("ERROR")
+    graft.plans.GraftPlanner.install(out) // custom ShardedProbeExec on the hot path
+    out
   }
 
   /** (busy, steal) jiffies from /proc/stat — the sandbox VM's host
@@ -118,18 +186,18 @@ object Bench {
   private val MultiCapture: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_MULTICAPTURE", "1") == "1"
 
-  /** Full crawl at a given core count. `partitions` is the job's
-    * shuffle/page-index partitioning — the GATE pair runs the SAME
-    * partitioning at N and 4N cores (cluster-faithful: partitioning is
-    * a property of the job, executor count is the variable; it also
-    * avoids the degenerate single-partition plans a partitions=cores
-    * rule would give local[1]). */
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
   }
 
+  /** Full crawl at a given core count. `partitions` is the job's
+    * shuffle/page-index partitioning — the GATE pair runs the SAME
+    * partitioning at N and 4N cores (cluster-faithful: partitioning is
+    * a property of the job, executor count is the variable; it also
+    * avoids the degenerate single-partition plans a partitions=cores
+    * rule would give local[1]). */
   private def crawlRun(cores: Int, partitions: Int, pagesDir: String,
       synthCfg: SynthConfig): CrawlTiming = {
     val tRun0 = System.nanoTime()
@@ -161,8 +229,8 @@ object Bench {
       // seeding (snapshot 0) is one-time setup, not the crawl loop the
       // metric describes. It is also IDENTICAL for every run of a corpus
       // (runId is the constant "run-0"), so it's initialized once per
-      // corpus ([[initTemplateFor]]) and file-copied here — a few MB on
-      // tmpfs, vs ~30-60 s of sequential small Spark jobs at local[1]
+      // corpus and file-copied here — a few MB on tmpfs, vs ~30-60 s of
+      // sequential small Spark jobs at local[1]
       val tInit = System.nanoTime()
       copyRecursively(java.nio.file.Paths.get(s"$pagesDir-ckpt0"),
         java.nio.file.Paths.get(ckpt))
@@ -184,7 +252,15 @@ object Bench {
         f"crawl=$secs%.1fs gc=${(gcMillis() - gc0) / 1000.0}%.1fs steal=$stealFrac%.3f")
       deleteDir(ckpt)
       CrawlTiming(waves.map(_._2).sum, secs, stealFrac)
-    } finally spark.stop()
+    } finally {
+      try spark.stop()
+      finally {
+        // never leave a stale registration behind for the next run's
+        // getOrCreate (the r4 stop/getOrCreate race)
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+      }
+    }
   }
 
   private def deleteDir(p: String): Unit =
@@ -201,20 +277,30 @@ object Bench {
     }
   }
 
-  /** Failed-and-retried crawl runs (each costs one retry, never the whole
-    * artifact — a 53-minute bench died to ONE transient broadcast timeout
-    * on 2026-08-17; the root cause is fixed in [[session]] but any
-    * residual transient must not zero the evidence). Reported in the JSON. */
+  /** Failed crawl runs (each costs one retry on a RESET session, then —
+    * new in v6 — the run is SKIPPED rather than killing the artifact:
+    * the r4 bench died retrying a fatal shutdown it could never outrun).
+    * Reported in the JSON. */
   private var failedRuns = 0
 
   private def crawlRunSafe(cores: Int, partitions: Int, pagesDir: String,
-      synthCfg: SynthConfig): CrawlTiming =
-    try crawlRun(cores, partitions, pagesDir, synthCfg)
+      synthCfg: SynthConfig): Option[CrawlTiming] =
+    try Some(crawlRun(cores, partitions, pagesDir, synthCfg))
     catch {
-      case e: Throwable =>
+      case NonFatal(e) =>
         failedRuns += 1
-        System.err.println(s"[bench] crawlRun(local[$cores]) failed, retrying once: $e")
-        crawlRun(cores, partitions, pagesDir, synthCfg)
+        System.err.println(s"[bench] crawlRun(local[$cores]) failed, " +
+          s"resetting sessions and retrying once: $e")
+        resetSessions() // clear any half-stopped context BEFORE rebuilding
+        try Some(crawlRun(cores, partitions, pagesDir, synthCfg))
+        catch {
+          case NonFatal(e2) =>
+            failedRuns += 1
+            System.err.println(s"[bench] crawlRun(local[$cores]) retry failed, " +
+              s"SKIPPING this run: $e2")
+            resetSessions()
+            None
+        }
     }
 
   /** Host-scaling reference: an embarrassingly parallel, shuffle-free,
@@ -222,25 +308,30 @@ object Bench {
     * count. Its N→4N efficiency is the CEILING this host grants ANY
     * Spark job in this window — printed next to the crawl's efficiency
     * so a reader can separate engine scaling from host contention
-    * (the sandbox host is shared; steal alone under-reports it). */
+    * (the sandbox host is shared; steal alone under-reports it).
+    * Sized so one invocation is seconds, not minutes (r4 overran the
+    * driver window partly on ~8 probe invocations' cost). */
   private def cpuProbeRun(cores: Int): Double = {
     val spark = session(cores, aqe = false, partitions = cores)
     try {
-      val n = 200000000L
-      def plan = {
+      val n = 80000000L
+      def plan(rows: Long) = {
         var c: org.apache.spark.sql.Column = col("id")
         (0 until 8).foreach(i => c = xxhash64(c, lit(i)))
-        spark.range(0L, n, 1L, cores * 4).select(avg(c.cast("double")))
+        spark.range(0L, rows, 1L, cores * 4).select(avg(c.cast("double")))
       }
-      plan.collect() // warm
+      plan(n / 10).collect() // JIT/codegen warm at a tenth of the size
       val t0 = System.nanoTime()
-      plan.collect()
+      plan(n).collect()
       (System.nanoTime() - t0) / 1e9
-    } finally spark.stop()
+    } finally {
+      try spark.stop()
+      finally { SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
+    }
   }
 
-  /** Memory-BANDWIDTH ceiling probe: full-scan sum over ~2.4 GB of
-    * cached incompressible longs, ~1 GB x3 scans (xxhash64 of a range — a plain range
+  /** Memory-BANDWIDTH ceiling probe: repeated full scans over ~0.8 GB of
+    * cached incompressible longs (xxhash64 of a range — a plain range
     * run-length-compresses to nothing in the columnar cache). The CPU
     * probe's working set lives in cache, so a host whose neighbors
     * saturate the memory bus shows a perfect CPU ceiling while every
@@ -251,129 +342,53 @@ object Bench {
   private def memProbeRun(cores: Int): Double = {
     val spark = session(cores, aqe = false, partitions = cores * 4)
     try {
-      // ~1 GB: must fit the sbt-launched JVM's 4 GB heap next to the
-      // block manager's other tenants (a bigger cache evicts → the scan
-      // silently becomes a recompute benchmark, or OOMs the bench)
-      val df = spark.range(0L, 120000000L, 1L, cores * 4)
+      // ~0.8 GB: must fit the JVM heap next to the block manager's other
+      // tenants (a bigger cache evicts → the scan silently becomes a
+      // recompute benchmark)
+      val df = spark.range(0L, 100000000L, 1L, cores * 4)
         .select(xxhash64(col("id")).as("h"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      // avg over double, not sum over long: 120M xxhash64 values
+      // avg over double, not sum over long: 100M xxhash64 values
       // overflow a long sum under ANSI mode
       df.agg(avg(col("h").cast("double"))).collect() // materialize + warm
       val t0 = System.nanoTime()
       var r = 0
-      while (r < 3) { df.agg(avg(col("h").cast("double"))).collect(); r += 1 }
+      while (r < 2) { df.agg(avg(col("h").cast("double"))).collect(); r += 1 }
       val s = (System.nanoTime() - t0) / 1e9
       df.unpersist(blocking = true)
       s
-    } finally spark.stop()
+    } finally {
+      try spark.stop()
+      finally { SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
+    }
   }
 
+  /** "%.4f" with NaN/Inf mapped to -1 (a skipped probe must stay valid
+    * JSON — round-4 advice #1). */
+  private def f(d: Double): String =
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) "-1"
+    else "%.4f".format(d)
+
   def main(args: Array[String]): Unit = {
+    val tMain = System.nanoTime()
+    def elapsedTot(): Double = (System.nanoTime() - tMain) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "300000").toInt
 
-    // ---------------- phase 1: operator battery ----------------------
-    val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
-    val (queryTimes, totalQuerySec, entrySec) = if (skipQueries) {
-      (Seq.empty[(String, Double)], 0.0, 0.0)
-    } else {
-      val s1 = session(cpus, aqe = true, partitions = cpus)
-      s1.range(1000000L).select(sum(col("id"))).collect() // JVM warmup
-      // parquet-reader + codegen warmup so the first battery entry isn't
-      // charged session one-time costs (best-effort: a missing table must
-      // not kill the bench — the battery tolerates per-query failures)
-      try s1.read.parquet(s"$sfDir/lineitem.parquet").agg(count(lit(1))).collect()
-      catch { case _: Throwable => () }
-      val qt = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(s1, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
-      val tEntry0 = System.nanoTime()
-      SparkEntry.entry(s1).count()
-      val es = (System.nanoTime() - tEntry0) / 1e9
-      s1.stop()
-      (qt, qt.map(_._2).filter(_ >= 0).sum, es)
-    }
+    // ---- GLOBAL wall budget (v6): METERED FROM MAIN ENTRY -----------
+    // r4's budget/ceiling only metered the trials; battery + probes +
+    // corpus builds + warmups were free, so total wall overran the
+    // driver's kill window (rc=124, artifact lost). One clock now bounds
+    // EVERYTHING, with tail room reserved for post-probes + emission.
+    val totalSec = sys.env.get("SPARK_GRAFT_BENCH_TOTAL_SEC")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_BUDGET_SEC")) // legacy knob
+      .map(_.toInt).getOrElse(1900)
+    val skipProbes = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_PROBES")
+    val endReserveSec = if (skipProbes) 20.0 else 120.0 // post probes + emit
+    def remainingTot(): Double = totalSec - elapsedTot()
 
-    // ---------------- phase 2: crawl scaling -------------------------
-    // deterministic corpus written once; every parallelism level reads it
-    // flat profile: 1 list page per account → 3 waves, so steady-state
-    // throughput is measured on fat waves, not list-pagination latency.
-    // richness=60 ≈ 60 KB pages — realistic article weight.
-    val richness = sys.env.getOrElse("SPARK_GRAFT_BENCH_RICHNESS", "60").toInt
-    def cfgFor(rows: Int) = SynthConfig(
-      nAccounts = math.max(10, rows * 7 / 100),
-      articlesPerAccount = 10,
-      longTail = rows * 3 / 10,
-      richness = richness)
-    // The corpus is written TWICE: the flat multi-capture pages table,
-    // and the COLLAPSED page index (latest capture wins, projected to
-    // url_hash/url/kind/text). The collapse runs ONCE per corpus at full
-    // parallelism — cluster-faithful (a production crawl ingests the
-    // capture set once and crawls it many times, it does not re-collapse
-    // per run) and it converts ~100 s of per-attempt local[1] setup into
-    // gate pairs the budget can actually buy (measured 2026-08-17:
-    // lo setup 177 s vs lo crawl 74 s — setup was 70% of an attempt).
-    // Latest-wins is still exercised at bench scale: the collapse is
-    // this same Wave.pageIndexLatest plan, and the hard `require` pins
-    // the collapse count every build.
-    def corpusFor(cfg: SynthConfig): String = {
-      val mc = if (MultiCapture) "-mc" else ""
-      val dir = s"$BenchDir/graft-bench-corpus-${cfg.totalRows}-r${cfg.richness}$mc"
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir-idx/_SUCCESS"))) {
-        val sg = session(cpus, aqe = true, partitions = cpus)
-        val base = Synth.pages(sg, cfg).toDF()
-        val pages = if (!MultiCapture) base else base.unionByName(
-          // ~10% of URLs get an EARLIER stale capture with garbage text:
-          // pageIndexLatest must pick the real one (see MultiCapture doc)
-          base.filter(pmod(xxhash64(col("url")), lit(10)) === 0)
-            .withColumn("warc_ts",
-              (col("warc_ts").cast("long") - 1000L).cast("timestamp"))
-            .withColumn("text", lit("<html><body>stale capture</body></html>")))
-        pages.write.mode("overwrite").parquet(dir)
-        val flat = sg.read.parquet(dir)
-        val idx = if (MultiCapture) Wave.pageIndexLatest(flat) else Wave.pageIndex(flat)
-        idx.write.mode("overwrite").parquet(s"$dir-idx")
-        val nIdx = sg.read.parquet(s"$dir-idx").count()
-        require(nIdx == cfg.totalRows,
-          s"latest-wins must collapse multi-captures to one row per url: " +
-            s"$nIdx vs ${cfg.totalRows}")
-        sg.stop()
-      }
-      // snapshot-0 init template, once per corpus (see crawlRun: every
-      // run file-copies this instead of re-running the seeding jobs)
-      if (!java.nio.file.Files.exists(
-          java.nio.file.Paths.get(s"$dir-ckpt0/snapshots/000000/manifest.json"))) {
-        deleteDir(s"$dir-ckpt0")
-        val sg = session(cpus, aqe = true, partitions = cpus)
-        import sg.implicits._
-        val budgets = (Seq((Synth.HotHost, 1000000)) ++
-          (0 until Synth.NLongTailHosts).map(k => (s"host$k.example", 4096)))
-          .toDF("host", "tokens_per_round")
-        val rc0 = CrawlDriver.RunConfig(s"$dir-ckpt0",
-          nWaves = cfg.pagesPerAccount + 2,
-          seenCapacity = cfg.totalRows * 2L, nShards = 16)
-        CrawlDriver.init(sg, new SnapshotCatalog(s"$dir-ckpt0", sg),
-          Synth.seedFrontier(sg, cfg).toDF(),
-          Synth.robots(sg, cfg).toDF(), budgets, rc0)
-        sg.stop()
-      }
-      dir
-    }
-    var synthCfg = cfgFor(benchRows)
-    var corpusDir = corpusFor(synthCfg)
-    // N vs 4N cores for the efficiency gate — see the scaladoc for why
-    // 1→4 (compute ≫ per-wave coordination at both levels; 16+ threads
-    // additionally expose host oversubscription: 7–48% steal observed at
-    // 32 busy threads in round 1).
-    // A third level (default 16) rides the same interleaved trials so
-    // the SECONDARY 4→16 ratio and the local[16] headline come from the
-    // same artifact — per round-2 advice, the regime argument is
-    // verifiable from one JSON.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
     val cores = sys.env.getOrElse("SPARK_GRAFT_BENCH_CORES", "1,4,16")
       .split(",").toSeq.map(_.trim.toInt)
     val loC = cores.head
@@ -381,244 +396,104 @@ object Bench {
     val xlC = cores.last
     val headlineCores = xlC
 
-    // host ceiling BEFORE the trials (and again after): a lo-level crawl
-    // can run 10+ minutes on a stolen host, so a single probe 20 minutes
-    // away can misrepresent the window the gate pair actually ran in.
-    // Pre+post brackets it. The mem probe runs pre too (round-3 verdict:
-    // the artifact must qualify its own window at both ends).
-    // dev-iteration knob: probes cost ~4 min per invocation and only
-    // qualify the window — a debugging run can skip them (never the
-    // driver's artifact run; skipping forces window_qualified=false)
-    val skipProbes = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_PROBES")
-    val probeLoPre = if (skipProbes) hiC.toDouble / loC else cpuProbeRun(loC)
-    val probeHiPre = if (skipProbes) 1.0 else cpuProbeRun(hiC)
-    val memLoPre = if (skipProbes) hiC.toDouble / loC else memProbeRun(loC)
-    val memHiPre = if (skipProbes) 1.0 else memProbeRun(hiC)
-
-    // whole-phase warmup at the headline level (C2 JIT + codegen cache +
-    // OS page cache are JVM/host-wide, so the scaling trials below
-    // inherit the warmth). The warmup DOUBLES as the host-degradation
-    // estimator for adaptive corpus sizing below, and as the first
-    // HEADLINE sample: the headline (urls/s at local[xl]) is measured on
-    // the FULL corpus — big waves amortize per-wave fixed costs, which
-    // is the cluster regime the metric describes — while the GATE pairs
-    // run on the adaptively-sized corpus so attempts stay cheap enough
-    // to retry until a calm window (v5.2 split; one corpus when no
-    // shrink happens).
-    val fullCfg = synthCfg
-    val fullDir = corpusDir
-    val tWarm0 = System.nanoTime()
-    var warm = crawlRunSafe(headlineCores, headlineCores, corpusDir, synthCfg)
-    var fullSlotSec = (System.nanoTime() - tWarm0) / 1e9
-    val headlineRuns = scala.collection.mutable.ArrayBuffer[CrawlTiming](warm)
-
-    // ---- ADAPTIVE SIZING (round-3 verdict #1) ----------------------
-    // r3 failure mode: a 5x-degraded host ate the whole budget with ONE
-    // triple (local[1] alone: 414 s) and the artifact was min-of-1 —
-    // "not an estimator" by this protocol's own note. Fix: project the
-    // trial cost from the measured warmup and SHRINK THE CORPUS so the
-    // planned triples + extra gate pairs provably fit the budget on the
-    // host actually found. Conservative wall-ratio priors from recorded
-    // artifacts (r2 calm: lo/xl 2.4, hi/xl 0.8; r3 degraded: 4.9 / 1.6).
-    val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "1100").toInt
-    val hardCeilSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CEILING_SEC", "2300").toInt
-    // GATE-corpus floor: eff = (W+F)/(W/4+F)/4 with W = 1-core compute
-    // and F = per-run fixed cost (driver floor: plans, commit barriers,
-    // run-constant jobs — measured F≈16.6 s, W≈68 s from a calm 64k-page
-    // pair: lo 84.7 s / hi 33.6 s, steal 2.6-6.2%). eff ≥ 0.8 needs
-    // W ≥ 11F ≈ 183 s ⇒ ≥ ~130k URLs at the measured ~700 urls/s·core —
-    // a 60k corpus CANNOT reach 0.8 regardless of host calm (its ceiling
-    // is ~0.63). On a cluster the same F amortizes under minutes-long
-    // waves; in the sandbox the floor must be bought with corpus size.
-    val minRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_ROWS", "140000").toInt
-    // v5.2 priors from measured v5.1 artifacts (2026-08-17, 190k corpus):
-    // per-core crawl throughput is roughly FLAT across levels (376 vs
-    // 392 urls/s·core at local[1] vs local[16]), so lo/xl wall ≈ the
-    // core ratio (measured 16.7), not the 2.4-4.9 the earlier priors
-    // assumed from small-corpus runs where per-task fixed costs dominate
-    // the xl level. Underestimating lo cost sized corpora whose gate
-    // pairs cost ~900 s — the requal loop could afford only one retry.
-    val loOverXl = xlC.toDouble / loC
-    val hiOverXl = 3.0
-    val tripleOverXl = 1.0 + loOverXl + hiOverXl
-    // fit `trials` triples into 85% of the budget, leaving the rest for
-    // extra gate pairs / requalification
-    val xlTargetSec = budgetSec * 0.85 / (trials * tripleOverXl)
-    val corpusScaledFrom =
-      if (warm.wallSec > xlTargetSec * 1.15 && benchRows > minRows) {
-        val scaled = math.max(minRows, (benchRows * xlTargetSec / warm.wallSec).toInt)
-        val from = synthCfg.totalRows
-        synthCfg = cfgFor(scaled)
-        corpusDir = corpusFor(synthCfg)
-        warm = crawlRunSafe(headlineCores, headlineCores, corpusDir, synthCfg)
-        from
-      } else 0
-
-    // interleaved trials: the sandbox host carries time-varying neighbor
-    // load (up to 7x wall swings within minutes, only partly visible as
-    // steal), so alternate lo/hi pairs and take each level's MINIMUM —
-    // the standard estimator of uncontended time on shared hosts. The
-    // per-trial arrays and medians are reported too, so a noisy round is
-    // diagnosable from the JSON alone.
-    val tStart = System.nanoTime()
+    // ---- artifact state (incrementally emitted) ---------------------
+    var stage = "battery"
+    var failed = false
+    var failReason = ""
+    var queryJsonStr = "{}"
+    var totalQuerySec = 0.0
+    var entrySec = 0.0
     val xlRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
     val loRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
     val hiRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
-    def elapsed() = (System.nanoTime() - tStart) / 1e9
-    // budget projections use REAL wall deltas around each triple/pair
-    // (a run also pays an untimed page-index build — with the
-    // multi-capture window that setup is material, and projecting from
-    // the timed crawl region alone would overrun the budget)
-    var worstTripleSec = 0.0
-    var i = 0
-    while (i < trials && (i == 0 || elapsed() + worstTripleSec * 1.1 < budgetSec)) {
-      val t0 = elapsed()
-      val xl = crawlRunSafe(xlC, xlC, corpusDir, synthCfg)
-      val lo = crawlRunSafe(loC, hiC, corpusDir, synthCfg) // gate pair: SAME
-      val hi = crawlRunSafe(hiC, hiC, corpusDir, synthCfg) // partitioning (= hiC)
-      xlRuns += xl; loRuns += lo; hiRuns += hi
-      worstTripleSec = math.max(worstTripleSec, elapsed() - t0)
-      i += 1
-    }
-    // spend leftover budget on extra GATE PAIRS only (lo+hi, the pair
-    // the ≥0.8 north rule is judged on; the xl headline already has its
-    // warmup run + trials): each pair is another chance for the
-    // per-level minimum to land in a calm moment.
-    var worstPairSec = worstTripleSec * (loOverXl + hiOverXl) / tripleOverXl
+    val headlineRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
+    var corpusPages = 0L
+    var headlinePages = 0L
+    var corpusScaledFrom = 0L
     var extraPairs = 0
-    while (extraPairs < 2 * trials && elapsed() + worstPairSec * 1.1 < budgetSec) {
-      val t0 = elapsed()
-      val lo = crawlRunSafe(loC, hiC, corpusDir, synthCfg)
-      val hi = crawlRunSafe(hiC, hiC, corpusDir, synthCfg)
-      loRuns += lo; hiRuns += hi
-      worstPairSec = math.max(worstPairSec, elapsed() - t0)
-      extraPairs += 1
-    }
+    var requalPairs = 0
+    // probes: NaN = not (yet) measured / skipped — rendered as -1, and a
+    // NaN can never satisfy a >= threshold, so window_qualified stays
+    // honest (round-4 advice #1: the old sentinel values auto-passed)
+    var probeLoPre, probeHiPre, probeLo, probeHi = Double.NaN
+    var memLoPre, memHiPre, memLo, memHi = Double.NaN
+
     def effAt(l: Double, h: Double, ratio: Double) = (l / h) / ratio
     def eff(l: Double, h: Double) = effAt(l, h, hiC.toDouble / loC)
-
-    // ---- WINDOW QUALIFICATION LOOP (round-3 verdict #1) ------------
-    // A protocol that detects a bad window but still emits min-of-1
-    // numbers has done half the job. After the planned trials: measure
-    // the window's disqualifiers (steal at the min runs, mem-bandwidth
-    // probe); while the window is disqualified OR the gate is missed,
-    // and the hard ceiling is not hit, run another gate pair + a fresh
-    // mem probe — each round is a new chance for BOTH mins to land in a
-    // calm window that the probes then certify.
-    var memLo = if (skipProbes) hiC.toDouble / loC else memProbeRun(loC)
-    var memHi = if (skipProbes) 1.0 else memProbeRun(hiC)
-    var requalPairs = 0
-    def minLo() = loRuns.minBy(_.wallSec)
-    def minHi() = hiRuns.minBy(_.wallSec)
-    def effRawNow() = eff(minLo().wallSec, minHi().wallSec)
-    def windowOkNow() =
-      minLo().stealFrac < 0.05 && minHi().stealFrac < 0.05 && eff(memLo, memHi) >= 0.8
-    // project the next pair's cost from the MOST RECENT pair, not the
-    // worst ever: on a host that was degraded early and calmed down, the
-    // worst-pair projection would refuse exactly the retries that could
-    // land a calm window (the point of this loop)
-    var recentPairSec = worstPairSec
-    while (!(windowOkNow() && effRawNow() >= 0.8) &&
-        requalPairs < 4 * trials &&
-        elapsed() + recentPairSec * 1.2 < hardCeilSec) {
-      val t0 = elapsed()
-      val lo = crawlRunSafe(loC, hiC, corpusDir, synthCfg)
-      val hi = crawlRunSafe(hiC, hiC, corpusDir, synthCfg)
-      loRuns += lo; hiRuns += hi
-      if (!skipProbes) { memLo = memProbeRun(loC); memHi = memProbeRun(hiC) }
-      recentPairSec = elapsed() - t0
-      worstPairSec = math.max(worstPairSec, recentPairSec)
-      requalPairs += 1
-    }
-
-    // ---- HEADLINE RUNS on the FULL corpus (v5.2) -------------------
-    // When the gate corpus was shrunk, the headline still wants the big
-    // corpus (fat waves = the cluster regime); spend leftover ceiling on
-    // up to 2 more full-corpus xl runs, min over warm + these. With no
-    // shrink the gate's xl trials ARE full-corpus runs and join the min.
-    if (corpusScaledFrom == 0) headlineRuns ++= xlRuns
-    else {
-      var hlExtra = 0
-      while (hlExtra < 2 && elapsed() + fullSlotSec * 1.2 < hardCeilSec) {
-        val t0 = System.nanoTime()
-        headlineRuns += crawlRunSafe(headlineCores, headlineCores, fullDir, fullCfg)
-        fullSlotSec = (System.nanoTime() - t0) / 1e9
-        hlExtra += 1
-      }
-    }
-
-    val xlSecs = xlRuns.map(_.wallSec).toSeq
-    val loSecs = loRuns.map(_.wallSec).toSeq
-    val hiSecs = hiRuns.map(_.wallSec).toSeq
-    // a 2-sample "median" is the mean of one calm and one possibly-noisy
-    // run — only meaningful from 3 trials up
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      if (s.isEmpty) Double.NaN
+      else if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val medianMeaningful = loRuns.size >= 3
-    val xlMin = xlRuns.minBy(_.wallSec)
-    val headline = headlineRuns.minBy(_.wallSec)
-    val lo = minLo()
-    val hi = minHi()
-    require((xlRuns ++ loRuns ++ hiRuns).map(_.fetched).distinct.size == 1,
-      s"determinism violation: fetched counts differ across runs/parallelism")
-    require(headlineRuns.map(_.fetched).distinct.size == 1,
-      s"determinism violation: fetched counts differ across headline runs")
-    val effRaw = eff(lo.wallSec, hi.wallSec)
-    val effAdj = eff(lo.adjustedSec, hi.adjustedSec)
-    val effMedian = eff(median(loSecs), median(hiSecs))
-    // the secondary hi→xl ratio (default 4→16): at local[16] a wave
-    // computes in a few seconds, so this measures residual per-wave
-    // latency more than compute scaling — reported so the regime
-    // argument is checkable from the artifact itself. Index-aligned
-    // with the xl trials (round-3 advice: extra gate pairs grow only
-    // lo/hi, so min over ALL hi runs would bias this ratio down).
-    val effHiXl = effAt(hiRuns.take(xlRuns.size).map(_.wallSec).min,
-      xlMin.wallSec, xlC.toDouble / hiC)
-    // host CPU ceiling after everything (pre+post bracket the window)
-    val probeLo = if (skipProbes) hiC.toDouble / loC else cpuProbeRun(loC)
-    val probeHi = if (skipProbes) 1.0 else cpuProbeRun(hiC)
-    val probeEff = eff(probeLo, probeHi)
-    val memEff = eff(memLo, memHi)
-    // the artifact's own verdict on its window: steal at both min runs
-    // under 5%, CPU ceiling >= 0.9 on both sides of the trials, and the
-    // memory-bandwidth ceiling >= 0.8 in the final window
-    val windowQualified =
-      lo.stealFrac < 0.05 && hi.stealFrac < 0.05 &&
-        eff(probeLoPre, probeHiPre) >= 0.9 && probeEff >= 0.9 && memEff >= 0.8
 
-    def f(d: Double) = "%.4f".format(d)
-    def arr(xs: Seq[Double]) = xs.map(f).mkString("[", ",", "]")
-    val qJson = queryTimes.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
-    // one bare ASCII JSON line on stdout (build.sbt passes forked-run
-    // output through RAW so a harness can json-parse this line directly)
-    val json =
+    /** Render the artifact JSON from whatever has been measured so far —
+      * callable after ANY stage (missing numerics render as -1, missing
+      * runs as empty arrays), so a crash or watchdog fire still emits a
+      * complete, parseable line. */
+    def render(): String = {
+      val lo = loRuns.reduceOption((a, b) => if (a.wallSec <= b.wallSec) a else b)
+      val hi = hiRuns.reduceOption((a, b) => if (a.wallSec <= b.wallSec) a else b)
+      val xlMin = xlRuns.reduceOption((a, b) => if (a.wallSec <= b.wallSec) a else b)
+      val headline = headlineRuns.reduceOption((a, b) => if (a.wallSec <= b.wallSec) a else b)
+      val loSecs = loRuns.map(_.wallSec).toSeq
+      val hiSecs = hiRuns.map(_.wallSec).toSeq
+      val xlSecs = xlRuns.map(_.wallSec).toSeq
+      def arr(xs: Seq[Double]) = xs.map(f).mkString("[", ",", "]")
+      val effRaw = (for (l <- lo; h <- hi) yield eff(l.wallSec, h.wallSec)).getOrElse(Double.NaN)
+      val effAdj = (for (l <- lo; h <- hi) yield eff(l.adjustedSec, h.adjustedSec)).getOrElse(Double.NaN)
+      val medianMeaningful = loRuns.size >= 3 && hiRuns.size >= 3
+      val effMedian = eff(median(loSecs), median(hiSecs))
+      // the secondary hi→xl ratio: index-aligned with the xl trials
+      // (extra gate pairs grow only lo/hi — min over ALL hi runs would
+      // bias this ratio down; round-3 advice)
+      val effHiXl = (for (x <- xlMin; _ <- hi if hiRuns.nonEmpty) yield
+        effAt(hiRuns.take(xlRuns.size).map(_.wallSec).min, x.wallSec, xlC.toDouble / hiC))
+        .getOrElse(Double.NaN)
+      val probeEff = eff(probeLo, probeHi)
+      val memEff = eff(memLo, memHi)
+      // determinism: REPORTED, not a pre-emptive require (r4 verdict #2).
+      // Gate+xl runs share the gate corpus; headline runs the full one.
+      val determinismOk =
+        (xlRuns ++ loRuns ++ hiRuns).map(_.fetched).distinct.size <= 1 &&
+          headlineRuns.map(_.fetched).distinct.size <= 1
+      // the artifact's own verdict on its window: steal at both min runs
+      // under 5%, CPU ceiling >= 0.9 on both sides of the trials, the
+      // memory-bandwidth ceiling >= 0.8 in the final window — and probes
+      // actually ran (a skip-probes dev run can never claim qualified)
+      val windowQualified = !skipProbes && lo.nonEmpty && hi.nonEmpty &&
+        lo.get.stealFrac < 0.05 && hi.get.stealFrac < 0.05 &&
+        eff(probeLoPre, probeHiPre) >= 0.9 && probeEff >= 0.9 && memEff >= 0.8
+      val value = headline.map(h => h.fetched / h.wallSec).getOrElse(Double.NaN)
+      val qJson = queryJsonStr
       s"""{"metric":"URLs fetched+extracted per second (full crawl loop, local[$headlineCores])",""" +
-        s""""value":${f(headline.fetched / headline.wallSec)},"unit":"urls/sec","queries":$qJson,"sf":"$sfDir",""" +
+        s""""value":${f(value)},"unit":"urls/sec","queries":$qJson,"sf":"$sfDir",""" +
+        s""""failed":$failed,"fail_reason":"${failReason.replaceAll("[\"\\\\\\n\\r]", " ").take(300)}",""" +
+        s""""stage":"$stage","protocol_version":"v6","elapsed_sec":${f(elapsedTot())},""" +
+        s""""total_budget_sec":$totalSec,"determinism_ok":$determinismOk,""" +
+        s""""probes_skipped":$skipProbes,""" +
         s""""queries_total_sec":${f(totalQuerySec)},"entry_wave_sec":${f(entrySec)},""" +
-        s""""crawl":{"corpus_pages":${synthCfg.totalRows},"fetched_urls":${lo.fetched},""" +
-        s""""headline_corpus_pages":${fullCfg.totalRows},"headline_fetched_urls":${headline.fetched},""" +
-        s""""headline_runs":${headlineRuns.size},"headline_sec":${f(headline.wallSec)},""" +
-        s""""headline_steal_frac":${f(headline.stealFrac)},""" +
+        s""""crawl":{"corpus_pages":$corpusPages,"fetched_urls":${lo.map(_.fetched).getOrElse(-1L)},""" +
+        s""""headline_corpus_pages":$headlinePages,"headline_fetched_urls":${headline.map(_.fetched).getOrElse(-1L)},""" +
+        s""""headline_runs":${headlineRuns.size},"headline_sec":${f(headline.map(_.wallSec).getOrElse(Double.NaN))},""" +
+        s""""headline_steal_frac":${f(headline.map(_.stealFrac).getOrElse(Double.NaN))},""" +
         s""""corpus_scaled_from_pages":$corpusScaledFrom,"multicapture":$MultiCapture,""" +
-        s""""budget_sec":$budgetSec,"ceiling_sec":$hardCeilSec,""" +
         s""""headline_cores":$headlineCores,""" +
         s""""cores_small":$loC,"cores_large":$hiC,"cores_xl":$xlC,"trials":${xlRuns.size},""" +
         s""""extra_gate_pairs":$extraPairs,"requal_pairs":$requalPairs,""" +
         s""""gate_pairs_total":${loRuns.size},"failed_runs":$failedRuns,""" +
         s""""window_qualified":$windowQualified,""" +
-        s""""sec_local$loC":${f(lo.wallSec)},"sec_local$hiC":${f(hi.wallSec)},""" +
-        s""""sec_local$xlC":${f(xlMin.wallSec)},""" +
+        s""""sec_local$loC":${f(lo.map(_.wallSec).getOrElse(Double.NaN))},""" +
+        s""""sec_local$hiC":${f(hi.map(_.wallSec).getOrElse(Double.NaN))},""" +
+        s""""sec_local$xlC":${f(xlMin.map(_.wallSec).getOrElse(Double.NaN))},""" +
         s""""trials_sec_local$loC":${arr(loSecs)},"trials_sec_local$hiC":${arr(hiSecs)},""" +
         s""""trials_sec_local$xlC":${arr(xlSecs)},""" +
         (if (medianMeaningful)
           s""""median_sec_local$loC":${f(median(loSecs))},"median_sec_local$hiC":${f(median(hiSecs))},"""
         else "") +
-        s""""steal_frac_local$loC":${f(lo.stealFrac)},"steal_frac_local$hiC":${f(hi.stealFrac)},""" +
-        s""""urls_per_sec_local$loC":${f(lo.fetched / lo.wallSec)},""" +
-        s""""urls_per_sec_local$hiC":${f(hi.fetched / hi.wallSec)},""" +
+        s""""steal_frac_local$loC":${f(lo.map(_.stealFrac).getOrElse(Double.NaN))},""" +
+        s""""steal_frac_local$hiC":${f(hi.map(_.stealFrac).getOrElse(Double.NaN))},""" +
+        s""""urls_per_sec_local$loC":${f(lo.map(t => t.fetched / t.wallSec).getOrElse(Double.NaN))},""" +
+        s""""urls_per_sec_local$hiC":${f(hi.map(t => t.fetched / t.wallSec).getOrElse(Double.NaN))},""" +
         s""""scaling_efficiency_raw":${f(effRaw)},""" +
         (if (medianMeaningful) s""""scaling_efficiency_median":${f(effMedian)},""" else "") +
         s""""scaling_efficiency_steal_adjusted":${f(effAdj)},""" +
@@ -626,16 +501,19 @@ object Bench {
         s""""protocol":"gate=${loC}to$hiC cores (driver-sanctioned N-to-4N stand-in); """ +
         s"""BOTH gate levels run IDENTICAL partitioning (shuffle partitions=$hiC) - """ +
         "cluster-faithful: partitioning is a property of the job, executor count is " +
-        "the variable. ADAPTIVE (v5): corpus is sized from a measured warmup so the " +
-        "planned triples + extra gate pairs fit the budget on the host actually " +
-        "found (corpus_scaled_from_pages nonzero = shrunk); after the trials, while " +
-        "the window is disqualified by its own probes (steal/mem) or the gate is " +
-        "missed, extra gate pairs + fresh mem probes run until qualified or the " +
-        "hard ceiling (requal_pairs). window_qualified = steal<0.05 at both mins, " +
-        s"CPU probes >=0.9 pre+post, mem probe >=0.8. The $hiC-to-$xlC ratio measures " +
-        "per-task fixed costs + per-wave stage-barrier latency that vanish when " +
-        "cluster tasks are minutes long; reported for transparency, index-aligned " +
-        "with the xl trials.\"," +
+        "the variable. v6: ONE wall budget metered from main entry bounds battery + " +
+        "corpus builds + probes + trials (total_budget_sec); the artifact is emitted " +
+        "incrementally and finalized from try/finally, so a crash or watchdog fire " +
+        "still yields a parseable line (failed/fail_reason/stage). ADAPTIVE corpus " +
+        "(v5): sized from a measured warmup so the planned triples + extra gate " +
+        "pairs fit the remaining budget (corpus_scaled_from_pages nonzero = shrunk); " +
+        "after the trials, while the window is disqualified by its own probes " +
+        "(steal/mem) or the gate is missed, extra gate pairs + fresh mem probes run " +
+        "until qualified or the budget floor (requal_pairs). window_qualified = " +
+        "steal<0.05 at both mins, CPU probes >=0.9 pre+post, mem probe >=0.8, and " +
+        s"""probes actually ran. The $hiC-to-$xlC ratio measures per-task fixed """ +
+        "costs + per-wave stage-barrier latency that vanish when cluster tasks are " +
+        "minutes long; reported for transparency, index-aligned with the xl trials.\"," +
         s""""host_cpu_probe_pre":{"sec_local$loC":${f(probeLoPre)},"sec_local$hiC":${f(probeHiPre)},""" +
         s""""efficiency":${f(eff(probeLoPre, probeHiPre))}},""" +
         s""""host_cpu_probe":{"sec_local$loC":${f(probeLo)},"sec_local$hiC":${f(probeHi)},""" +
@@ -643,12 +521,327 @@ object Bench {
         s""""host_mem_probe_pre":{"sec_local$loC":${f(memLoPre)},"sec_local$hiC":${f(memHiPre)},""" +
         s""""efficiency":${f(eff(memLoPre, memHiPre))}},""" +
         s""""host_mem_probe":{"sec_local$loC":${f(memLo)},"sec_local$hiC":${f(memHi)},""" +
-        s""""efficiency":${f(memEff)},"note":"3 full scans over ~1GB cached incompressible longs - the memory-BANDWIDTH ceiling; a bus-saturated neighbor shows a perfect CPU probe while every page-heavy crawl stage drags, so a low value here also disqualifies the window; re-measured after every requalification pair"}}}"""
-    println(json)
-    // belt-and-braces: also drop the line as a file next to the repo
-    // artifacts, so the number survives any stdout-capture mishap
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+        s""""efficiency":${f(memEff)},"note":"repeated full scans over ~0.8GB cached incompressible longs - the memory-BANDWIDTH ceiling; a bus-saturated neighbor shows a perfect CPU probe while every page-heavy crawl stage drags, so a low value here also disqualifies the window; re-measured after every requalification pair"}}}"""
+    }
+
+    val lastJson = new java.util.concurrent.atomic.AtomicReference[String](render())
+    def save(st: String): Unit = {
+      stage = st
+      val j = render()
+      lastJson.set(j)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (j + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case NonFatal(_) => () }
+    }
+
+    // WATCHDOG: if main is still alive 120 s past the budget (a hang
+    // inside a Spark call — the r4 endgame was non-daemon threads of a
+    // half-stopped context outliving the crash), print the last saved
+    // artifact with failed=true and halt. Runtime.halt, not exit: a hung
+    // context's shutdown hooks must not block the emission.
+    val printed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val watchdog = new Thread(() => {
+      try Thread.sleep(((totalSec + 120).toLong) * 1000L)
+      catch { case _: InterruptedException => return }
+      if (printed.compareAndSet(false, true)) {
+        val j = lastJson.get()
+          .replaceFirst("\"failed\":false", "\"failed\":true")
+          .replaceFirst("\"fail_reason\":\"\"",
+            "\"fail_reason\":\"watchdog: budget overrun, main hung\"")
+        println(j)
+        System.out.flush()
+        Runtime.getRuntime.halt(0)
+      }
+    }, "bench-watchdog")
+    watchdog.setDaemon(true)
+    watchdog.start()
+
+    try {
+      // ---------------- phase 1: operator battery ----------------------
+      val skipQueries = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")
+      if (!skipQueries) {
+        val s1 = session(cpus, aqe = true, partitions = cpus)
+        s1.range(1000000L).select(sum(col("id"))).collect() // JVM warmup
+        // parquet-reader + codegen warmup so the first battery entry isn't
+        // charged session one-time costs (best-effort: a missing table must
+        // not kill the bench — the battery tolerates per-query failures)
+        try s1.read.parquet(s"$sfDir/lineitem.parquet").agg(count(lit(1))).collect()
+        catch { case NonFatal(_) => () }
+        val qt = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(s1, sfDir).count(); true }
+            catch { case NonFatal(_) => false }
+          name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        }
+        val tEntry0 = System.nanoTime()
+        SparkEntry.entry(s1).count()
+        entrySec = (System.nanoTime() - tEntry0) / 1e9
+        try s1.stop()
+        finally { SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
+        totalQuerySec = qt.map(_._2).filter(_ >= 0).sum
+        queryJsonStr = qt.map { case (k, v) => s""""$k":${f(v)}""" }.mkString("{", ",", "}")
+      }
+      save("corpus")
+
+      // ---------------- phase 2: crawl scaling -------------------------
+      // deterministic corpus written once; every parallelism level reads it
+      // flat profile: 1 list page per account → 3 waves, so steady-state
+      // throughput is measured on fat waves, not list-pagination latency.
+      // richness=60 ≈ 60 KB pages — realistic article weight.
+      val richness = sys.env.getOrElse("SPARK_GRAFT_BENCH_RICHNESS", "60").toInt
+      def cfgFor(rows: Int) = SynthConfig(
+        nAccounts = math.max(10, rows * 7 / 100),
+        articlesPerAccount = 10,
+        longTail = rows * 3 / 10,
+        richness = richness)
+      // The corpus is written TWICE: the flat multi-capture pages table,
+      // and the COLLAPSED page index (latest capture wins, projected to
+      // url_hash/url/kind/text). The collapse runs ONCE per corpus at full
+      // parallelism — cluster-faithful (a production crawl ingests the
+      // capture set once and crawls it many times, it does not re-collapse
+      // per run) and it converts ~100 s of per-attempt local[1] setup into
+      // gate pairs the budget can actually buy. Latest-wins is still
+      // exercised at bench scale: the collapse is this same
+      // Wave.pageIndexLatest plan, and the hard `require` pins the
+      // collapse count every build.
+      def corpusFor(cfg: SynthConfig): String = {
+        val mc = if (MultiCapture) "-mc" else ""
+        val dir = s"$BenchDir/graft-bench-corpus-${cfg.totalRows}-r${cfg.richness}$mc"
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir-idx/_SUCCESS"))) {
+          val sg = session(cpus, aqe = true, partitions = cpus)
+          val base = Synth.pages(sg, cfg).toDF()
+          val pages = if (!MultiCapture) base else base.unionByName(
+            // ~10% of URLs get an EARLIER stale capture with garbage text:
+            // pageIndexLatest must pick the real one (see MultiCapture doc)
+            base.filter(pmod(xxhash64(col("url")), lit(10)) === 0)
+              .withColumn("warc_ts",
+                (col("warc_ts").cast("long") - 1000L).cast("timestamp"))
+              .withColumn("text", lit("<html><body>stale capture</body></html>")))
+          pages.write.mode("overwrite").parquet(dir)
+          val flat = sg.read.parquet(dir)
+          val idx = if (MultiCapture) Wave.pageIndexLatest(flat) else Wave.pageIndex(flat)
+          idx.write.mode("overwrite").parquet(s"$dir-idx")
+          val nIdx = sg.read.parquet(s"$dir-idx").count()
+          require(nIdx == cfg.totalRows,
+            s"latest-wins must collapse multi-captures to one row per url: " +
+              s"$nIdx vs ${cfg.totalRows}")
+          try sg.stop()
+          finally { SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
+        }
+        // snapshot-0 init template, once per corpus (see crawlRun: every
+        // run file-copies this instead of re-running the seeding jobs)
+        if (!java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir-ckpt0/snapshots/000000/manifest.json"))) {
+          deleteDir(s"$dir-ckpt0")
+          val sg = session(cpus, aqe = true, partitions = cpus)
+          import sg.implicits._
+          val budgets = (Seq((Synth.HotHost, 1000000)) ++
+            (0 until Synth.NLongTailHosts).map(k => (s"host$k.example", 4096)))
+            .toDF("host", "tokens_per_round")
+          val rc0 = CrawlDriver.RunConfig(s"$dir-ckpt0",
+            nWaves = cfg.pagesPerAccount + 2,
+            seenCapacity = cfg.totalRows * 2L, nShards = 16)
+          CrawlDriver.init(sg, new SnapshotCatalog(s"$dir-ckpt0", sg),
+            Synth.seedFrontier(sg, cfg).toDF(),
+            Synth.robots(sg, cfg).toDF(), budgets, rc0)
+          try sg.stop()
+          finally { SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
+        }
+        dir
+      }
+      var synthCfg = cfgFor(benchRows)
+      var corpusDir = corpusFor(synthCfg)
+      corpusPages = synthCfg.totalRows
+      headlinePages = synthCfg.totalRows
+      save("pre-probes")
+
+      // host ceiling BEFORE the trials (and again after): a lo-level crawl
+      // can run 10+ minutes on a stolen host, so a single probe 20 minutes
+      // away can misrepresent the window the gate pair actually ran in.
+      // Pre+post brackets it. Probes skipped (dev iteration only) leave
+      // NaN → rendered -1, window_qualified false, probes_skipped true.
+      if (!skipProbes) {
+        probeLoPre = cpuProbeRun(loC)
+        probeHiPre = cpuProbeRun(hiC)
+        memLoPre = memProbeRun(loC)
+        memHiPre = memProbeRun(hiC)
+      }
+      save("warmup")
+
+      // whole-phase warmup at the headline level (C2 JIT + codegen cache +
+      // OS page cache are JVM/host-wide, so the scaling trials below
+      // inherit the warmth). The warmup DOUBLES as the host-degradation
+      // estimator for adaptive corpus sizing below, and as the first
+      // HEADLINE sample: the headline (urls/s at local[xl]) is measured on
+      // the FULL corpus — big waves amortize per-wave fixed costs, which
+      // is the cluster regime the metric describes — while the GATE pairs
+      // run on the adaptively-sized corpus so attempts stay cheap enough
+      // to retry until a calm window (v5.2 split; one corpus when no
+      // shrink happens).
+      val fullCfg = synthCfg
+      val fullDir = corpusDir
+      val tWarm0 = System.nanoTime()
+      val warm = crawlRunSafe(headlineCores, headlineCores, corpusDir, synthCfg)
+        .getOrElse(sys.error("warm headline crawl failed twice — cannot size trials"))
+      var fullSlotSec = (System.nanoTime() - tWarm0) / 1e9
+      headlineRuns += warm
+      save("sizing")
+
+      // ---- ADAPTIVE SIZING (round-3 verdict #1) ----------------------
+      // Project the trial cost from the measured warmup and SHRINK THE
+      // CORPUS so the planned triples + extra gate pairs provably fit the
+      // REMAINING global budget on the host actually found.
+      // GATE-corpus floor: eff = (W+F)/(W/4+F)/4 with W = 1-core compute
+      // and F = per-run fixed cost (driver floor: plans, commit barriers,
+      // run-constant jobs — measured F≈16.6 s, W≈68 s from a calm 64k-page
+      // pair: lo 84.7 s / hi 33.6 s, steal 2.6-6.2%). eff ≥ 0.8 needs
+      // W ≥ 11F ≈ 183 s ⇒ ≥ ~130k URLs at the measured ~700 urls/s·core —
+      // a 60k corpus CANNOT reach 0.8 regardless of host calm (its ceiling
+      // is ~0.63). On a cluster the same F amortizes under minutes-long
+      // waves; in the sandbox the floor must be bought with corpus size.
+      val minRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_MIN_ROWS", "140000").toInt
+      // v5.2 priors from measured v5.1 artifacts (2026-08-17, 190k corpus):
+      // per-core crawl throughput is roughly FLAT across levels (376 vs
+      // 392 urls/s·core at local[1] vs local[16]), so lo/xl wall ≈ the
+      // core ratio (measured 16.7), not the 2.4-4.9 the earlier priors
+      // assumed from small-corpus runs where per-task fixed costs dominate
+      // the xl level.
+      val loOverXl = xlC.toDouble / loC
+      val hiOverXl = 3.0
+      val tripleOverXl = 1.0 + loOverXl + hiOverXl
+      // fit `trials` triples into ~60% of the REMAINING budget, leaving
+      // the rest for extra gate pairs / requalification + the end reserve
+      val xlTargetSec = math.max(1.0,
+        (remainingTot() - endReserveSec) * 0.6 / (trials * tripleOverXl))
+      if (warm.wallSec > xlTargetSec * 1.15 && benchRows > minRows) {
+        val scaled = math.max(minRows, (benchRows * xlTargetSec / warm.wallSec).toInt)
+        corpusScaledFrom = synthCfg.totalRows
+        synthCfg = cfgFor(scaled)
+        corpusDir = corpusFor(synthCfg)
+        corpusPages = synthCfg.totalRows
+        crawlRunSafe(headlineCores, headlineCores, corpusDir, synthCfg) // gate-corpus warm
+      }
+      save("trials")
+
+      // interleaved trials: the sandbox host carries time-varying neighbor
+      // load (up to 7x wall swings within minutes, only partly visible as
+      // steal), so alternate lo/hi pairs and take each level's MINIMUM —
+      // the standard estimator of uncontended time on shared hosts. The
+      // per-trial arrays and medians are reported too, so a noisy round is
+      // diagnosable from the JSON alone.
+      var worstTripleSec = 0.0
+      var i = 0
+      while (i < trials &&
+          (i == 0 || remainingTot() > worstTripleSec * 1.1 + endReserveSec)) {
+        val t0 = elapsedTot()
+        crawlRunSafe(xlC, xlC, corpusDir, synthCfg).foreach(xlRuns += _)
+        crawlRunSafe(loC, hiC, corpusDir, synthCfg).foreach(loRuns += _) // gate pair:
+        crawlRunSafe(hiC, hiC, corpusDir, synthCfg).foreach(hiRuns += _) // SAME partitioning
+        worstTripleSec = math.max(worstTripleSec, elapsedTot() - t0)
+        i += 1
+        save("trials")
+      }
+      // spend leftover budget on extra GATE PAIRS only (lo+hi, the pair
+      // the ≥0.8 north rule is judged on; the xl headline already has its
+      // warmup run + trials): each pair is another chance for the
+      // per-level minimum to land in a calm moment.
+      var worstPairSec = worstTripleSec * (loOverXl + hiOverXl) / tripleOverXl
+      while (extraPairs < 2 * trials &&
+          remainingTot() > worstPairSec * 1.1 + endReserveSec) {
+        val t0 = elapsedTot()
+        crawlRunSafe(loC, hiC, corpusDir, synthCfg).foreach(loRuns += _)
+        crawlRunSafe(hiC, hiC, corpusDir, synthCfg).foreach(hiRuns += _)
+        worstPairSec = math.max(worstPairSec, elapsedTot() - t0)
+        extraPairs += 1
+        save("gate-pairs")
+      }
+
+      // ---- WINDOW QUALIFICATION LOOP (round-3 verdict #1) ------------
+      // A protocol that detects a bad window but still emits min-of-1
+      // numbers has done half the job. After the planned trials: measure
+      // the window's disqualifiers (steal at the min runs, mem-bandwidth
+      // probe); while the window is disqualified OR the gate is missed,
+      // and budget remains, run another gate pair + a fresh mem probe —
+      // each round is a new chance for BOTH mins to land in a calm window
+      // that the probes then certify.
+      if (!skipProbes) { memLo = memProbeRun(loC); memHi = memProbeRun(hiC) }
+      save("requal")
+      def minLo() = loRuns.minBy(_.wallSec)
+      def minHi() = hiRuns.minBy(_.wallSec)
+      def effRawNow() =
+        if (loRuns.isEmpty || hiRuns.isEmpty) Double.NaN
+        else eff(minLo().wallSec, minHi().wallSec)
+      def windowOkNow() = !skipProbes && loRuns.nonEmpty && hiRuns.nonEmpty &&
+        minLo().stealFrac < 0.05 && minHi().stealFrac < 0.05 && eff(memLo, memHi) >= 0.8
+      // project the next pair's cost from the MOST RECENT pair, not the
+      // worst ever: on a host that was degraded early and calmed down, the
+      // worst-pair projection would refuse exactly the retries that could
+      // land a calm window (the point of this loop)
+      var recentPairSec = worstPairSec
+      while (!(windowOkNow() && effRawNow() >= 0.8) &&
+          requalPairs < 4 * trials &&
+          remainingTot() > recentPairSec * 1.2 + endReserveSec) {
+        val t0 = elapsedTot()
+        crawlRunSafe(loC, hiC, corpusDir, synthCfg).foreach(loRuns += _)
+        crawlRunSafe(hiC, hiC, corpusDir, synthCfg).foreach(hiRuns += _)
+        if (!skipProbes) { memLo = memProbeRun(loC); memHi = memProbeRun(hiC) }
+        recentPairSec = elapsedTot() - t0
+        worstPairSec = math.max(worstPairSec, recentPairSec)
+        requalPairs += 1
+        save("requal")
+      }
+
+      // ---- HEADLINE RUNS on the FULL corpus (v5.2) -------------------
+      // When the gate corpus was shrunk, the headline still wants the big
+      // corpus (fat waves = the cluster regime); spend leftover budget on
+      // up to 2 more full-corpus xl runs, min over warm + these. With no
+      // shrink the gate's xl trials ARE full-corpus runs and join the min.
+      if (corpusScaledFrom == 0L) headlineRuns ++= xlRuns
+      else {
+        var hlExtra = 0
+        while (hlExtra < 2 && remainingTot() > fullSlotSec * 1.2 + endReserveSec) {
+          val t0 = System.nanoTime()
+          crawlRunSafe(headlineCores, headlineCores, fullDir, fullCfg)
+            .foreach(headlineRuns += _)
+          fullSlotSec = (System.nanoTime() - t0) / 1e9
+          hlExtra += 1
+          save("headline")
+        }
+      }
+
+      // host CPU ceiling after everything (pre+post bracket the window);
+      // the end reserve was held back for exactly this
+      if (!skipProbes && remainingTot() > 10) {
+        probeLo = cpuProbeRun(loC)
+        probeHi = cpuProbeRun(hiC)
+      }
+      save("done")
+    } catch {
+      case e: Throwable =>
+        failed = true
+        failReason = e.toString
+        System.err.println(s"[bench] FAILED at stage '$stage': $e")
+        e.printStackTrace()
+        save(s"error:$stage")
+    }
+
+    // one bare ASCII JSON line on stdout (build.sbt passes forked-run
+    // output through RAW so a harness can json-parse this line directly).
+    // Printed exactly once — main path, failure path, or watchdog.
+    if (printed.compareAndSet(false, true)) {
+      println(lastJson.get())
+      System.out.flush()
+    }
+    // a half-stopped context's non-daemon threads must not keep the JVM
+    // alive past the artifact (the r4 endgame: hang → driver rc=124).
+    // System.exit gives shutdown hooks a chance to clean tmpfs dirs, but
+    // a wedged hook must not un-print the artifact: halt if exit stalls.
+    val exitGuard = new Thread(() => {
+      try Thread.sleep(30000L) catch { case _: InterruptedException => return }
+      Runtime.getRuntime.halt(0)
+    }, "bench-exit-guard")
+    exitGuard.setDaemon(true)
+    exitGuard.start()
+    System.exit(0)
   }
 }

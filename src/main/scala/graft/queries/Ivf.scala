@@ -145,7 +145,13 @@ object Ivf {
     * lists — plus the centroid matrix persisted as an underscore-
     * prefixed sidecar (ignored by parquet readers, like a manifest) so
     * the probe path never recomputes assignment or resamples. Returns
-    * the centroids. One codegen'd linear pass over the corpus. */
+    * the centroids. One codegen'd linear pass over the corpus.
+    *
+    * The sidecar is the index's COMPLETENESS MARKER: it is written LAST,
+    * atomically (tmp + move), strictly after the parquet commit — so a
+    * crash between the two phases leaves an index that [[indexedTopK]]
+    * correctly treats as absent and rebuilds, never a permanently
+    * "complete" cache whose probe throws (round-4 advice). */
   def index(embeddings: DataFrame, indexDir: String, k: Int = DefaultCells): Seq[Seq[Double]] = {
     val cs = centroids(embeddings, k)
     if (cs.nonEmpty) {
@@ -160,9 +166,11 @@ object Ivf {
         .write.partitionBy("cell").mode("overwrite").parquet(indexDir)
     }
     val lines = cs.map(_.map(java.lang.Double.toString).mkString(","))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(indexDir, "_centroids.csv"),
+    val tmp = java.nio.file.Paths.get(indexDir, "_centroids.csv.tmp")
+    java.nio.file.Files.write(tmp,
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(indexDir, "_centroids.csv"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     cs
   }
 
@@ -219,12 +227,35 @@ object Ivf {
       .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** Content fingerprint of the source corpus, folded into the index
+    * cache key: a corpus REWRITTEN at the same path must not be served
+    * a stale index (round-4 advice — the path-only key did exactly
+    * that). For a directory the fingerprint hashes the sorted data-file
+    * names + sizes + mtimes (driver-side metadata walk, no Spark job);
+    * otherwise the key string stands alone. */
+  private[queries] def contentFingerprint(cacheKey: String): String = {
+    val p = java.nio.file.Paths.get(cacheKey)
+    if (!java.nio.file.Files.isDirectory(p)) return "nofp"
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(p)
+    val sig = try {
+      s.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => s"${p.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+        .toSeq.sorted.mkString("\n")
+    } finally s.close()
+    java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(sig))
+  }
+
   /** Registered-query entry ([[TextQueries]] `q_ann_ivf_topk`): build
     * (or reuse) the inverted file for this corpus in a deterministic
     * cache location, then run the PRUNED probe scan — the executed plan
     * of the registered query is the scale read path, not a rebuild
     * (round-3 verdict directive #2). The cache key is the corpus path +
-    * K, `_SUCCESS`-guarded like the bench corpus. */
+    * a content fingerprint + K, guarded by the atomically-written-last
+    * `_centroids.csv` sidecar (see [[index]] — the parquet `_SUCCESS`
+    * lands BEFORE the sidecar, so it cannot serve as the marker). */
   def indexedTopK(spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
       cacheKey: String, queryId: Long = 0L, topK: Int = 10,
       nprobe: Int = DefaultProbes, k: Int = DefaultCells): DataFrame = {
@@ -232,9 +263,10 @@ object Ivf {
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
     val keyHash = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(cacheKey).toLong & 0xffffffffL)
+      scala.util.hashing.MurmurHash3.stringHash(
+        cacheKey + "#" + contentFingerprint(cacheKey)).toLong & 0xffffffffL)
     val indexDir = s"$base/graft-ivf-index-$keyHash-k$k"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_SUCCESS")))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_centroids.csv")))
       index(embeddings, indexDir, k)
     // the query vector is the caller's input (here: one pushed-down
     // point lookup on the source table — NOT a scan of the index)

@@ -60,6 +60,38 @@ class DedupSpec extends SparkSpec {
     assert(near > far && far === 0)
   }
 
+  test("winnowMd5: fingerprints equal an independent plain-Scala winnow, incl. short docs") {
+    // the oracle-checkable winnow twin (md5 signature family): pin its
+    // exact output against an independent reimplementation — 5-gram md5
+    // hex, lexicographic min over each 4-window (trailing windows
+    // clipped), distinct per doc. A <8-token doc exercises the
+    // greatest(n-4, 0) single-clipped-window edge.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def expected(text: String): Set[String] = {
+      val toks = text.split("\\s+")
+      if (toks.length < 5) return Set.empty
+      val grams = toks.sliding(5).map(_.mkString(" ")).map(md5hex).toVector
+      (0 to math.max(grams.length - 4, 0))
+        .map(i => grams.slice(i, math.min(i + 4, grams.length)).min).toSet
+    }
+    val shortDoc = "six little tokens right here now" // 6 toks → 2 grams
+    val tiny = "just four tokens here"                // < 5 toks → no grams
+    val all = docs.unionByName(Seq((5L, shortDoc), (6L, tiny)).toDF("doc_id", "text"))
+    val got = TextQueries.winnowMd5(all).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.getOrElse(1L, Set.empty) === expected(base))
+    assert(got.getOrElse(3L, Set.empty) === expected(unrelated))
+    assert(got.getOrElse(5L, Set.empty) === expected(shortDoc))
+    assert(got(5L).size === 1, "a <4-gram doc yields exactly one clipped-window min")
+    assert(!got.contains(6L), "a <5-token doc yields no fingerprints")
+    // same separation property as the production integer-hash winnow
+    assert(got(1L) === got(4L))
+    assert(got(1L).intersect(got(3L)).isEmpty)
+  }
+
   test("exact + normalized dedup collapse planted dupes") {
     val q = TextQueries.queries
     val dir = java.nio.file.Files.createTempDirectory("dedup").toString

@@ -119,6 +119,40 @@ class IvfSpec extends SparkSpec {
       s"assignment project must stay codegen'd:\n${plan.take(600)}")
   }
 
+  test("index cache: sidecar-last completeness marker + content-fingerprinted key") {
+    // round-4 advice: (a) a crash between the parquet commit and the
+    // centroid sidecar must read as ABSENT (rebuild), never a
+    // permanently-broken cache; (b) rewriting the corpus at the same
+    // path must change the cache key — no stale index served.
+    val dir = plantedDir()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val key = s"$dir/embeddings.parquet"
+    val fp1 = Ivf.contentFingerprint(key)
+    val first = Ivf.indexedTopK(spark, e, cacheKey = key, topK = 3).collect()
+    assert(first.nonEmpty)
+
+    // simulate the crash window: parquet _SUCCESS present, sidecar gone
+    val keyHash = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        key + "#" + fp1).toLong & 0xffffffffL)
+    val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val idxDir = java.nio.file.Paths.get(s"$base/graft-ivf-index-$keyHash-k${Ivf.DefaultCells}")
+    assert(java.nio.file.Files.exists(idxDir.resolve("_centroids.csv")),
+      s"cache must exist where the key points: $idxDir")
+    java.nio.file.Files.delete(idxDir.resolve("_centroids.csv"))
+    val rebuilt = Ivf.indexedTopK(spark, e, cacheKey = key, topK = 3).collect()
+    assert(java.nio.file.Files.exists(idxDir.resolve("_centroids.csv")),
+      "a sidecar-less cache must be rebuilt, not served broken")
+    assert(rebuilt.map(_.getLong(0)).toSeq === first.map(_.getLong(0)).toSeq)
+
+    // rewrite the corpus at the SAME path → fingerprint must move
+    Thread.sleep(5) // ensure a distinct mtime even on coarse clocks
+    e.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val fp2 = Ivf.contentFingerprint(key)
+    assert(fp1 !== fp2, "rewritten corpus must change the cache fingerprint")
+  }
+
   test("registered queries run against testdata shape; topk executes the PRUNED plan") {
     val dir = plantedDir()
     val assign = TextQueries.queries("q_ann_ivf_assign")(spark, dir)

@@ -227,4 +227,88 @@ class StreamingSpec extends SparkSpec {
     assert(gotSessions.keySet.subsetOf(batchSessions.keySet.filter(_._2 <= maxMs)))
     assert(mustCloseS.nonEmpty)
   }
+
+  test("file-source event stream: snapshot deltas replay as micro-batches, no driver collect") {
+    // round-4 verdict #5: the production telemetry feed is a FILE-based
+    // streaming source over the committed snapshot dirs — nothing is
+    // collected to the driver. One crawl, then the stream's emitted
+    // windows must equal the batch twin row-for-row, and every window
+    // ending strictly before the final watermark must have closed.
+    import StreamingMetrics.FetchEvent
+    import graft.checkpoint.SnapshotCatalog
+    import graft.frontier.Wave
+    import graft.synth.{Synth, SynthConfig}
+    import org.apache.spark.sql.functions._
+
+    val cfg = SynthConfig(nAccounts = 4, articlesPerAccount = 8, longTail = 30)
+    val pagesIdx = Wave.pageIndex(Synth.pages(spark, cfg).toDF()).cache()
+    val dir = java.nio.file.Files.createTempDirectory("stream-file-crawl").toString
+    val catalog = new SnapshotCatalog(dir, spark)
+    val rc = graft.CrawlDriver.RunConfig(dir, nWaves = 2, seenCapacity = 50000L,
+      nShards = 4)
+    graft.CrawlDriver.init(spark, catalog, Synth.seedFrontier(spark, cfg).toDF(),
+      Synth.robots(spark, cfg).toDF(), Synth.budgets(spark, cfg).toDF(), rc)
+    graft.CrawlDriver.run(spark, catalog, pagesIdx, rc)
+
+    val stream = StreamingMetrics.eventStream(catalog, spark)
+    assert(stream.isStreaming, "the telemetry feed must be a streaming Dataset")
+    val eventsDs = StreamingMetrics.eventsFromCatalog(catalog, spark)
+
+    // the replay is a BACKFILL: event time = publish time, unordered
+    // relative to commit order (see eventStream doc) — a watermark delay
+    // covering the corpus's event-time spread guarantees zero late-drops
+    val windowSec = 3600
+    val (minTs, maxTs) = {
+      val r = eventsDs.select(min(col("fetch_ts")), max(col("fetch_ts"))).head()
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }
+    val delaySec = ((maxTs - minTs) / 1000 + 2L * windowSec).toInt
+    val q = StreamingMetrics.windowed(stream, windowSec = windowSec,
+      watermarkSec = delaySec)
+      .writeStream.format("memory").queryName("file_metrics")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a far-future SENTINEL file pushes the final watermark past every
+      // real window's end, closing them all — the backfill equivalent of
+      // the live feed moving on. Snapshot 999999 has no manifest, so the
+      // catalog itself never sees it.
+      val sentinelTs = new java.sql.Timestamp(
+        maxTs + (delaySec + 2L * windowSec) * 1000L)
+      val sentinel = spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          999, 0L, -1L, "https://sentinel.example/x", "sentinel.example",
+          0, sentinelTs)),
+        graft.model.Tables.forRead("fetched").get)
+      sentinel.write.mode("overwrite")
+        .parquet(s"$dir/snapshots/999999/fetched")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = eventsDs.toDF()
+      .groupBy(window(col("fetch_ts"), s"$windowSec seconds"), col("host"))
+      .agg(count(lit(1)).as("attempted"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("fetched_extracted"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("host"), col("attempted"), col("fetched_extracted"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    val got = spark.table("file_metrics")
+      .select("win_start", "win_end", "host", "attempted", "fetched_extracted")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime,
+        r.getString(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    // spread-covering delay + sentinel ⇒ zero late-drops AND every real
+    // window closed: the streamed rollup IS the batch twin, exactly
+    // (the sentinel's own window never closes — its end is past the
+    // final watermark — so it cannot appear in `got`)
+    assert(got.keySet === batch.keySet,
+      s"streamed rollup must close exactly the batch windows " +
+        s"(missing ${batch.keySet -- got.keySet}, extra ${got.keySet -- batch.keySet})")
+    got.foreach { case (k, v) =>
+      assert(batch.get(k).contains(v), s"stream row $k=$v must equal batch ${batch.get(k)}")
+    }
+    assert(batch.size > 2, "the crawl must span multiple telemetry windows")
+  }
 }

@@ -78,6 +78,25 @@ object TextQueries {
     // 64-bit SimHash per document from token hashes
     "q_simhash64" -> ((s, d) => simhash(t(s, d, "documents"))),
 
+    // SimHash over an MD5 token-hash family (portable twin of
+    // q_simhash64): the bit-vote algorithm itself carries a full DuckDB
+    // oracle check while q_simhash64 stays the cheap xxhash64 production
+    // variant (round-4 verdict stretch, same split as q_winnow_md5)
+    "q_simhash_md5" -> ((s, d) => simhashMd5(t(s, d, "documents"))),
+
+    // minhash banding over an MD5 signature family (portable twin of
+    // q_minhash_lsh, same shingle / 16-sig / 8x2 banding): lexicographic
+    // min over md5 hex strings — every step ANSI-SQL-expressible, so the
+    // signature+banding pipeline is oracle-checked, not just rows-only
+    "q_minhash_md5" -> ((s, d) => minhashBandsMd5(t(s, d, "documents"))),
+
+    // candidate PAIRS from the md5 banding incl. the oversized-bucket
+    // cap — oracle-checks the bucket→pair join machinery that
+    // q_minhash_pairs / q_embed_neardup run under Spark-only hashes
+    "q_lsh_pairs_md5" -> ((s, d) =>
+      annCandidatePairs(minhashBandsMd5(t(s, d, "documents"))
+        .withColumnRenamed("doc_id", "vec_id"))),
+
     // token-set Jaccard for deterministic candidate pairs (doc, doc+1).
     // Intersection by AGGREGATION, not a token-equality self-join: a hot
     // token ("the") appearing in k docs fans out k² rows under the join
@@ -375,6 +394,76 @@ object TextQueries {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** [[minhashBands]] over an MD5 signature family: identical shingle /
+    * 16-sig / 8×2 banding scheme, but sig i = lexicographic min of
+    * md5(shingle + "#i") hex strings and bucket = md5 of the band's sig
+    * pair — fully ANSI-portable, so the DuckDB oracle replays the exact
+    * buckets ([[minhashBands]] stays the production xxhash64 variant). */
+  def minhashBandsMd5(docs: DataFrame): DataFrame = {
+    val withToks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val shingled = withToks.select(col("doc_id"),
+      explode(array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
+        .as("sh"))
+    val minCols = (0 until 16).map(i =>
+      min(md5(concat(col("sh"), lit(s"#$i")))).as(s"m$i"))
+    val sigs = shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bands = (0 until 8).map { b =>
+      struct(lit(b.toLong).as("band"),
+        md5(concat_ws(",", col(s"m${b * 2}"), col(s"m${b * 2 + 1}"), lit(b.toString)))
+          .as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** [[simhash]] over an MD5 token-hash family: 60 bits from the first
+    * 15 hex chars of md5(token) — 15×4 bits fits a signed long in both
+    * engines without unsigned-hex gymnastics — per-bit ±1 votes, sign of
+    * the vote sum sets the bit. Bit b = bit (b%4) of hex digit 15-b/4
+    * (digit 1 = most significant), so simhash60 = Σ 2^b over winning
+    * bits < 2^60. DuckDB replays the exact value from the same digits. */
+  def simhashMd5(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), "\\s+")).as("tok"))
+      .withColumn("hx", substring(md5(col("tok")), 1, 15))
+    def dv(p: Int): Column = conv(substring(col("hx"), p, 1), 16, 10).cast("int")
+    val withDigits = toks.select(col("doc_id") +:
+      (1 to 15).map(p => dv(p).as(s"d$p")): _*)
+    val bitSums = for { p <- 1 to 15; k <- 0 until 4 } yield
+      sum(when(shiftright(col(s"d$p"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b${(15 - p) * 4 + k}")
+    val agg = withDigits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 60).map(b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash60"))
+  }
+
+  /** The md5-banding CTE shared by the q_minhash_md5 / q_lsh_pairs_md5
+    * oracles (16 min-sigs, 8 bands, bucket = md5 of the sig pair). */
+  private val Md5BandsCte: String = {
+    val sigCols = (0 until 16).map(i => s"min(md5(sh || '#$i')) AS m$i").mkString(",\n             ")
+    val cases = (0 until 8).map(b =>
+      s"WHEN $b THEN md5(m${2 * b} || ',' || m${2 * b + 1} || ',' || '$b')").mkString("\n             ")
+    s"""toks AS (
+           SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents
+           WHERE len(string_split_regex(text, '\\s+')) >= 3),
+         sh AS (
+           SELECT DISTINCT doc_id, toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] AS sh
+           FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 2)) AS i FROM toks)),
+         sigs AS (
+           SELECT doc_id,
+             $sigCols
+           FROM sh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, CAST(b AS BIGINT) AS band,
+             CASE b
+             $cases
+             END AS bucket
+           FROM sigs, (SELECT unnest(range(0, 8)) AS b))"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keeper, count(*) AS copies, length(text) AS text_len
@@ -431,6 +520,40 @@ object TextQueries {
          FROM documents""",
     "q_fingerprint_md5" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    // simhash over the md5 token-hash family: replay the exact 60-bit
+    // value — bit b = bit (b%4) of hex digit 15-floor(b/4) of md5(tok),
+    // vote ±1 per token, sum>0 sets the bit; pow(2,k) is exact in double
+    // for k<=59 so the BIGINT casts are lossless
+    "q_simhash_md5" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok FROM documents),
+         hx AS (SELECT doc_id, substr(md5(tok), 1, 15) AS hx FROM tok),
+         bits AS (
+           SELECT doc_id, (15 - p) * 4 + k AS b,
+             CASE WHEN (CAST(floor((strpos('0123456789abcdef', substr(hx, CAST(p AS INT), 1)) - 1)
+                 / pow(2, k)) AS BIGINT) % 2) = 1
+               THEN 1 ELSE -1 END AS vote
+           FROM hx, (SELECT unnest(range(1, 16)) AS p), (SELECT unnest(range(0, 4)) AS k)),
+         votes AS (SELECT doc_id, b, sum(vote) AS s FROM bits GROUP BY doc_id, b)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+             AS BIGINT) AS simhash60
+         FROM votes GROUP BY doc_id""",
+    // md5 minhash banding: the shared CTE builds 16 lexicographic-min
+    // md5 sigs per doc and 8 band buckets (md5 of each sig pair)
+    "q_minhash_md5" ->
+      s"""WITH $Md5BandsCte
+         SELECT doc_id, band, bucket FROM bands""",
+    // bucket→pair join over the md5 bands, oversized buckets (> 4096
+    // members) dropped — the same cap semantics as annCandidatePairs
+    "q_lsh_pairs_md5" ->
+      s"""WITH $Md5BandsCte,
+         ok AS (SELECT band, bucket FROM bands
+                GROUP BY band, bucket HAVING count(*) <= 4096),
+         sized AS (SELECT bands.* FROM bands JOIN ok USING (band, bucket))
+         SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         FROM sized x JOIN sized y
+           ON y.band = x.band AND y.bucket = x.bucket AND x.doc_id < y.doc_id""",
     // winnowing (5-gram md5, min over each 4-window, distinct per doc):
     // grams at i use toks[i..i+4] (0-based) = toks[i+1..i+5] (1-based);
     // windows at i in 0..greatest(n_grams-4, 0) — the trailing truncated

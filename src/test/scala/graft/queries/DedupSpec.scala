@@ -92,6 +92,83 @@ class DedupSpec extends SparkSpec {
     assert(got(1L).intersect(got(3L)).isEmpty)
   }
 
+  private def md5hexOf(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Independent plain-Scala replay of [[TextQueries.minhashBandsMd5]]:
+    * 3-token shingles (distinct), 16 sigs = lexicographic min of
+    * md5(sh + "#i"), bucket b = md5(m_{2b} + "," + m_{2b+1} + "," + b). */
+  private def expectedMd5Bands(text: String): Set[(Long, String)] = {
+    val toks = text.split("\\s+")
+    if (toks.length < 3) return Set.empty
+    val shingles = toks.sliding(3).map(_.mkString(" ")).toVector.distinct
+    val sigs = (0 until 16).map(i => shingles.map(sh => md5hexOf(sh + s"#$i")).min)
+    (0 until 8).map(b =>
+      (b.toLong, md5hexOf(sigs(2 * b) + "," + sigs(2 * b + 1) + "," + b))).toSet
+  }
+
+  test("minhashBandsMd5: buckets equal an independent plain-Scala replay") {
+    val got = TextQueries.minhashBandsMd5(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) === expectedMd5Bands(base))
+    assert(got(3L) === expectedMd5Bands(unrelated))
+    assert(got(1L) === got(4L), "exact dup shares every band bucket")
+    assert(got(1L).intersect(got(2L)).nonEmpty, "near-dup shares >=1 band bucket")
+    assert(got(1L).intersect(got(3L)).isEmpty, "unrelated shares none")
+  }
+
+  test("lsh_pairs_md5: pairs equal the replay's bucket collisions; cap drops degenerate buckets") {
+    val q = TextQueries.queries
+    val dir = java.nio.file.Files.createTempDirectory("lshmd5").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = q("q_lsh_pairs_md5")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bands = Seq(1L -> base, 2L -> nearDup, 3L -> unrelated, 4L -> base)
+      .map { case (id, txt) => id -> expectedMd5Bands(txt) }
+    val want = (for {
+      (a, ba) <- bands; (b, bb) <- bands
+      if a < b && ba.intersect(bb).nonEmpty
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 4L)) && !got.exists(p => p._1 == 3L || p._2 == 3L))
+    // capped at 1: every bucket holding both of a pair exceeds the cap
+    val capped = TextQueries.annCandidatePairs(
+      TextQueries.minhashBandsMd5(docs).withColumnRenamed("doc_id", "vec_id"),
+      cap = 1L).collect()
+    assert(capped.isEmpty)
+  }
+
+  test("simhashMd5: value equals an independent plain-Scala replay") {
+    // bit b of the 60-bit simhash = sign of the ±1 vote sum over tokens,
+    // where a token votes +1 iff bit (b%4) of hex digit 15-floor(b/4)
+    // (1-based from the left) of md5(token) is set
+    def expectedSim(text: String): Long = {
+      val toks = text.split("\\s+")
+      val votes = Array.fill(60)(0)
+      toks.foreach { tok =>
+        val hx = md5hexOf(tok).take(15)
+        for (p <- 1 to 15; k <- 0 until 4) {
+          val v = Integer.parseInt(hx.charAt(p - 1).toString, 16)
+          val b = (15 - p) * 4 + k
+          votes(b) += (if (((v >> k) & 1) == 1) 1 else -1)
+        }
+      }
+      (0 until 60).map(b => if (votes(b) > 0) 1L << b else 0L).sum
+    }
+    val s = TextQueries.simhashMd5(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) === expectedSim(base))
+    assert(s(2L) === expectedSim(nearDup))
+    assert(s(3L) === expectedSim(unrelated))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(s(1L), s(4L)) === 0)
+    assert(hamming(s(1L), s(2L)) < hamming(s(1L), s(3L)))
+  }
+
   test("exact + normalized dedup collapse planted dupes") {
     val q = TextQueries.queries
     val dir = java.nio.file.Files.createTempDirectory("dedup").toString

@@ -543,12 +543,21 @@ object Bench {
       // structural gate decomposition from the (raw) mins: lo = W + F and
       // hi = W/(hi/lo cores) + F with W = 1-core compute, F = per-run
       // fixed cost → the corpus's efficiency CEILING independent of host
-      // calm; reported so an under-sized gate corpus is a visible fact
+      // calm; reported so an under-sized gate corpus is a visible fact.
+      // The ceiling EQUALS the measured raw eff by construction (2
+      // parameters fitted to the same 2 mins), so its "the corpus, not
+      // the engine, binds" reading is validated on the UNFITTED third
+      // point: gate_model_pred_xl_sec = W/xlCores + F predicts the xl
+      // min; a small gate_model_xl_residual means the W/F split is real
+      // (r5 measured: predicted 21.8 s vs 23.0 s observed, +5%).
       val coreRatio = hiC.toDouble / loC
       val wCoreSec = (for (l <- lo; h <- hi) yield
         (l.wallSec - h.wallSec) * coreRatio / (coreRatio - 1.0)).getOrElse(Double.NaN)
       val fFixedSec = (for (l <- lo) yield l.wallSec - wCoreSec).getOrElse(Double.NaN)
       val gateCeiling = (wCoreSec + fFixedSec) / (wCoreSec + coreRatio * fFixedSec)
+      val predXlSec = wCoreSec / xlC + fFixedSec
+      val xlResidual = xlMin.map(x => (x.wallSec - predXlSec) / x.wallSec)
+        .getOrElse(Double.NaN)
       def hist(xs: Seq[(Double, Double)]) =
         xs.map { case (t, e) => s"[${f(t)},${f(e)}]" }.mkString("[", ",", "]")
       val value = headline.map(h => h.fetched / h.wallSec).getOrElse(Double.NaN)
@@ -588,6 +597,7 @@ object Bench {
         s""""qualified_runs_local$hiC":${hiRuns.count(runQualified)},""" +
         s""""gate_w_core_sec":${f(wCoreSec)},"gate_f_fixed_sec":${f(fFixedSec)},""" +
         s""""gate_structural_ceiling":${f(gateCeiling)},""" +
+        s""""gate_model_pred_xl_sec":${f(predXlSec)},"gate_model_xl_residual":${f(xlResidual)},""" +
         s""""cpu_probe_history":${hist(cpuHist.toSeq)},"mem_probe_history":${hist(memHist.toSeq)},""" +
         (if (medianMeaningful) s""""scaling_efficiency_median":${f(effMedian)},""" else "") +
         s""""scaling_efficiency_steal_adjusted":${f(effAdj)},""" +
@@ -614,7 +624,11 @@ object Bench {
         "is the min-estimator over qualified runs only (raw = over all runs); " +
         "gate_w_core_sec/gate_f_fixed_sec decompose the raw mins into 1-core " +
         "compute W and per-run fixed cost F, and gate_structural_ceiling = " +
-        "(W+F)/(W+4F) is what this corpus could reach on a perfectly calm host. " +
+        "(W+F)/(W+4F) is what this corpus could reach on a perfectly calm host " +
+        "(the ceiling equals raw eff by construction - 2 parameters from 2 mins - " +
+        "so the W/F split is validated on the UNFITTED xl point: " +
+        "gate_model_pred_xl_sec = W/xlCores + F vs the measured xl min, " +
+        "gate_model_xl_residual the relative error). " +
         s"""The $hiC-to-$xlC ratio measures per-task fixed """ +
         "costs + per-wave stage-barrier latency that vanish when cluster tasks are " +
         "minutes long; reported for transparency, index-aligned with the xl trials.\"," +

@@ -80,16 +80,56 @@ object CrawlDriver {
       meta = Map("run_id" -> cfg.runId, "n_shards" -> cfg.nShards.toString))
   }
 
+  /** The fetched log at snapshot k: the newest `fetched_base` compaction
+    * (one row per seen key, last fetch wins, active retractions applied
+    * — see [[compactedFetched]]) plus the delta tail after it; the plain
+    * delta union before any compaction. Every whole-history consumer
+    * (seen keys, telemetry backfill, counts) reads through this view, so
+    * [[graft.checkpoint.Expiry]] can physically delete the folded
+    * deltas. */
+  private[graft] def fetchedView(catalog: SnapshotCatalog, k: Int): DataFrame =
+    catalog.readWithBase(k, "fetched", "fetched_base")
+
+  /** The fetched-log compaction product to commit INTO snapshot k+1 (as
+    * table `fetched_base`, covering deltas 0..k): one row per currently-
+    * seen key — last fetch wins, keys whose latest event is a retraction
+    * dropped (they are un-seen; a later re-fetch re-adds them as a tail
+    * delta row). A pure function of committed state, so kill/replay
+    * rewrites the identical base. Incremental: builds on the previous
+    * base + tail, never the full delta history. Re-applying retraction
+    * deltas older than the previous base (when expiry has not yet
+    * deleted them) is a no-op: their keys were either dropped by that
+    * fold or re-fetched at a later wave. */
+  private[graft] def compactedFetched(
+      catalog: SnapshotCatalog, upToCommitted: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = fetchedView(catalog, upToCommitted)
+    val w = Window.partitionBy(col("url_hash")).orderBy(col("wave").desc)
+    val latest = all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    catalog.readDeltasUpToOpt(upToCommitted, "retracted") match {
+      case None => latest
+      case Some(retr) =>
+        // active = retracted strictly after the key's last fetch (the
+        // same strict compare as seenKeys); retraction sets are
+        // refresh-sized, hence broadcast
+        val rmax = retr.groupBy("url_hash").agg(max("wave").as("__rw"))
+        latest.join(broadcast(rmax), Seq("url_hash"), "left")
+          .filter(col("__rw").isNull || col("__rw") <= col("wave"))
+          .drop("__rw")
+    }
+  }
+
   /** Exact seen keys at wave k — ONE ROW PER KEY (the confirm join's
     * contract): all fetched url_hashes minus ACTIVE retractions
     * (retracted at a wave later than their last fetch — a re-fetch
-    * re-seens the key). Without refreshes the fetched deltas are unique
+    * re-seens the key). Without refreshes the fetched rows are unique
     * by never-fetch-twice and pass through with no extra stage; after a
     * refresh (re-fetched keys appear twice) the branch dedupes.
     * Retraction sets are refresh-sized (small) by design, hence
     * broadcast. */
   private[graft] def seenKeys(catalog: SnapshotCatalog, k: Int): DataFrame = {
-    val fetched = catalog.readDeltasUpTo(k, "fetched")
+    val fetched = fetchedView(catalog, k)
     catalog.readDeltasUpToOpt(k, "retracted") match {
       case None => fetched.select("url_hash")
       case Some(retr) =>
@@ -290,7 +330,10 @@ object CrawlDriver {
       // kill/replay rewrites the identical base
       val compact = // k ≥ 1: snapshot 0 carries no deltas to fold
         if (cfg.compactEvery > 0 && (k + 1) % cfg.compactEvery == 0 && k >= 1)
-          Map("articles_base" -> graft.frontier.ArticleStore.compacted(catalog, k))
+          Map("articles_base" -> graft.frontier.ArticleStore.compacted(catalog, k),
+            // same cadence for the fetched-log fold: together they make
+            // every delta before the bases expirable (checkpoint.Expiry)
+            "fetched_base" -> compactedFetched(catalog, k))
         else Map.empty[String, DataFrame]
       val (ready, done) = catalog.commitAsync(k + 1, wave = k,
         loopTables = loop, bulkTables = bulk ++ compact,
@@ -415,8 +458,10 @@ object CrawlDriver {
     pagesIdx.count()
 
     val catalog = new SnapshotCatalog(dir, spark)
+    // compaction every 3 snapshots: the demo exercises the full storage
+    // lifecycle (deltas → bases → expiry below), like a production run
     val cfg = RunConfig(checkpointDir = dir, nWaves = nWaves,
-      seenCapacity = math.max(nPages * 4L, 100000L))
+      seenCapacity = math.max(nPages * 4L, 100000L), compactEvery = 3)
     if (catalog.latest.isEmpty) {
       // A2: seed frontier derives from the accounts table (+ long tail)
       val accounts = Synth.accounts(spark, synthCfg).toDF()
@@ -430,8 +475,9 @@ object CrawlDriver {
     results.foreach { case (k, f, e) =>
       println(s"[crawl] wave $k: fetched=$f extracted=$e")
     }
-    val totalArticles = catalog.readDeltasUpTo(catalog.latest.get, "articles_delta").count()
-    val totalSeen = catalog.readDeltasUpTo(catalog.latest.get, "fetched").count()
+    val totalArticles = graft.frontier.ArticleStore
+      .articles(catalog, catalog.latest.get).count()
+    val totalSeen = seenKeys(catalog, catalog.latest.get).count()
     println(s"[crawl] done: snapshots=${catalog.latest.get} articles=$totalArticles seen=$totalSeen dir=$dir")
 
     // streaming telemetry over the run's OWN committed output (R3/R4
@@ -472,6 +518,13 @@ object CrawlDriver {
         top.foreach(r => println(s"[telemetry]   ${r.mkString(" | ")}"))
       }
     }
+
+    // storage maintenance, AFTER all consumers (Iceberg-style expire
+    // between runs, never on the wave path): physically reclaim
+    // superseded snapshot data; manifests/lineage survive
+    val ex = graft.checkpoint.Expiry.expire(catalog)
+    println(s"[expiry] dirs_deleted=${ex.dirsDeleted} bytes_freed=${ex.bytesFreed}")
+
     spark.stop()
   }
 }

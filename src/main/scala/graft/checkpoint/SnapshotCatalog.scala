@@ -229,6 +229,46 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
   def latestWithTable(upTo: Int, name: String): Option[Int] =
     (upTo to 0 by -1).find(hasTable(_, name))
 
+  /** As [[latestWithTable]], but only snapshots whose manifest has
+    * landed (commit complete). The pipelined loop reads a snapshot's
+    * durable LOOP tables while its BULK phase — where compaction bases
+    * are written — may still be in flight, so a base directory must not
+    * be trusted until its snapshot's manifest marks the commit done. */
+  def latestCommittedWithTable(upTo: Int, name: String): Option[Int] =
+    (upTo to 0 by -1).find(i => hasTable(i, name) &&
+      Files.exists(snapshotPath(i).resolve("manifest.json")))
+
+  /** Base-aware delta view: the newest COMMITTED `baseName` ≤ k
+    * (committed into snapshot b, covering deltas 0..b-1) unioned with
+    * the delta TAIL b..k; a plain 0..k delta union when no base exists.
+    * The read contract [[graft.checkpoint.Expiry]] relies on: once a
+    * committed base at b exists, deltas < b are never opened — which is
+    * what makes them physically deletable. */
+  def readWithBase(k: Int, deltaName: String, baseName: String): DataFrame =
+    latestCommittedWithTable(k, baseName) match {
+      case Some(b) =>
+        val base = readTable(b, baseName)
+        readDeltasInRange(b, k, deltaName).map(base.unionByName(_)).getOrElse(base)
+      case None => readDeltasUpTo(k, deltaName)
+    }
+
+  /** Physically delete table `name`'s data directory inside snapshot
+    * `id` (the primitive [[graft.checkpoint.Expiry]] builds on — the
+    * Iceberg expire-snapshots/delete-orphan-files analogue). The
+    * snapshot's manifest is NOT touched: per-partition lineage and the
+    * committed row counts stay readable forever; only the superseded
+    * bytes go. Returns bytes freed (0 when the table is absent). */
+  def dropTableData(id: Int, name: String): Long = {
+    val dir = snapshotPath(id).resolve(name)
+    if (!Files.isDirectory(dir)) return 0L
+    val s = Files.walk(dir)
+    val bytes =
+      try s.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).sum
+      finally s.close()
+    deleteRecursively(dir)
+    bytes
+  }
+
   /** A meta value recorded at commit time (e.g. run_id, n_shards). */
   def metaValue(id: Int, key: String): Option[String] =
     ("\"" + java.util.regex.Pattern.quote(key) + "\":\"([^\"]*)\"").r

@@ -31,14 +31,10 @@ object ArticleStore {
     * rewrite-data-files pattern. Falls back to the full delta scan when
     * no base exists. */
   def articles(catalog: SnapshotCatalog, k: Int): DataFrame =
-    catalog.latestWithTable(k, "articles_base") match {
-      case Some(b) =>
-        // base at snapshot b covers deltas 0..b-1; tail = b..k
-        val base = catalog.readTable(b, "articles_base")
-        merged(catalog.readDeltasInRange(b, k, "articles_delta")
-          .map(base.unionByName(_)).getOrElse(base))
-      case None => merged(catalog.readDeltasUpTo(k, "articles_delta"))
-    }
+    // base at snapshot b covers deltas 0..b-1; tail = b..k — the shared
+    // base-aware read that makes pre-base deltas physically expirable
+    // (checkpoint.Expiry)
+    merged(catalog.readWithBase(k, "articles_delta", "articles_base"))
 
   /** The compaction product to commit INTO snapshot k+1 (as table
     * `articles_base`): the merged store over committed snapshots 0..k —

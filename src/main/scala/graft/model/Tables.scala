@@ -42,6 +42,9 @@ object Tables {
   val byName: Map[String, StructType] = Map(
     "frontier" -> of[FrontierEntry](Encoders.product[FrontierEntry]),
     "fetched" -> fetched,
+    // the fetched-log compaction (CrawlDriver.compactedFetched): same
+    // row shape as the deltas it folds
+    "fetched_base" -> fetched,
     "articles_delta" -> of[Article](Encoders.product[Article]),
     "articles_base" -> of[Article](Encoders.product[Article]),
     "denied" -> denied,

@@ -65,8 +65,12 @@ object StreamingMetrics {
     import spark.implicits._
     val last = catalog.latest.getOrElse(
       sys.error("catalog not initialized — nothing committed"))
-    val fetched = catalog.readDeltasUpTo(last, "fetched")
-    val extracted = catalog.readDeltasUpTo(last, "articles_delta")
+    // base-aware reads: after a compaction + checkpoint.Expiry the folded
+    // deltas are gone; the base keeps one event per seen key (its LAST
+    // fetch), so an expired catalog's backfill is the post-fold window
+    // plus one event per older key — the Iceberg time-travel trade
+    val fetched = catalog.readWithBase(last, "fetched", "fetched_base")
+    val extracted = catalog.readWithBase(last, "articles_delta", "articles_base")
       .select(col("url_hash"), col("wave")).distinct()
       .withColumn("__ok", lit(true))
     fetched.join(extracted, Seq("url_hash", "wave"), "left")
@@ -106,11 +110,14 @@ object StreamingMetrics {
       sys.error("catalog not initialized — nothing committed"))
     val schema = graft.model.Tables.forRead("fetched").getOrElse(
       sys.error("fetched schema not registered"))
+    // the glob covers only the surviving `fetched` delta dirs — after a
+    // compaction + checkpoint.Expiry the stream replays the post-fold
+    // tail (the live-feed window), matching the time-travel trade
     val fetchedStream = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(catalog.snapshotsGlob("fetched"))
-    val extracted = catalog.readDeltasUpTo(last, "articles_delta")
+    val extracted = catalog.readWithBase(last, "articles_delta", "articles_base")
       .select(col("url_hash"), col("wave")).distinct()
       .withColumn("__ok", lit(true))
     fetchedStream.join(extracted, Seq("url_hash", "wave"), "left")

@@ -367,6 +367,12 @@ object Bench {
       // avg over double, not sum over long: 100M xxhash64 values
       // overflow a long sum under ANSI mode
       df.agg(avg(col("h").cast("double"))).collect() // materialize + warm
+      // second untimed scan: GC churn from the just-stopped previous
+      // probe session can evict MEMORY_ONLY blocks during the build;
+      // this pass re-caches them so the timed scans measure bandwidth,
+      // not recompute (observed: a poisoned probe read local[4] SLOWER
+      // than local[1] — eff 0.09, physically impossible for a scan)
+      df.agg(avg(col("h").cast("double"))).collect()
       val t0 = System.nanoTime()
       var r = 0
       while (r < 2) { df.agg(avg(col("h").cast("double"))).collect(); r += 1 }
@@ -460,13 +466,33 @@ object Bench {
     /** One probe round: cpu lo/hi + mem lo/hi, appended to the bracket
       * histories; the first round also populates the reported "pre"
       * fields, every round refreshes the reported "post" fields. */
+    /** Measure one probe pair, retrying (≤2×) readings below the
+      * VALIDITY floor 0.25: eff < 0.25 means more cores ran SLOWER in
+      * absolute time — a broken measurement (cache eviction mid-probe,
+      * GC churn from the previous session's teardown), not host
+      * degradation, which reads 0.3–0.5 and is STABLE across retries
+      * (r3/r4 artifacts). Every attempt lands in the bracket history —
+      * the round's last reading is what brackets adjacent runs, the
+      * discarded ones stay visible in the artifact. A genuinely
+      * hammered host fails the retries too and stays disqualified. */
+    def probePair(run: Int => Double,
+        hist: scala.collection.mutable.ArrayBuffer[(Double, Double)]): (Double, Double) = {
+      var lo = run(loC); var hi = run(hiC)
+      hist += ((elapsedTot(), eff(lo, hi)))
+      var retries = 0
+      while (eff(lo, hi) < 0.25 && retries < 2) {
+        retries += 1
+        lo = run(loC); hi = run(hiC)
+        hist += ((elapsedTot(), eff(lo, hi)))
+      }
+      (lo, hi)
+    }
+
     def probeRound(): Unit = if (!skipProbes) {
-      val cl = cpuProbeRun(loC); val ch = cpuProbeRun(hiC)
-      cpuHist += ((elapsedTot(), eff(cl, ch)))
+      val (cl, ch) = probePair(cpuProbeRun, cpuHist)
       if (probeLoPre.isNaN) { probeLoPre = cl; probeHiPre = ch }
       probeLo = cl; probeHi = ch
-      val ml = memProbeRun(loC); val mh = memProbeRun(hiC)
-      memHist += ((elapsedTot(), eff(ml, mh)))
+      val (ml, mh) = probePair(memProbeRun, memHist)
       if (memLoPre.isNaN) { memLoPre = ml; memHiPre = mh }
       memLo = ml; memHi = mh
     }
@@ -565,7 +591,7 @@ object Bench {
       s"""{"metric":"URLs fetched+extracted per second (full crawl loop, local[$headlineCores])",""" +
         s""""value":${f(value)},"unit":"urls/sec","queries":$qJson,"sf":"$sfDir",""" +
         s""""failed":$failed,"fail_reason":"${failReason.replaceAll("[\"\\\\\\n\\r]", " ").take(300)}",""" +
-        s""""stage":"$stage","protocol_version":"v6.1","elapsed_sec":${f(elapsedTot())},""" +
+        s""""stage":"$stage","protocol_version":"v6.4","elapsed_sec":${f(elapsedTot())},""" +
         s""""total_budget_sec":$totalSec,"determinism_ok":$determinismOk,""" +
         s""""probes_skipped":$skipProbes,""" +
         s""""queries_total_sec":${f(totalQuerySec)},"entry_wave_sec":${f(entrySec)},""" +
@@ -629,6 +655,12 @@ object Bench {
         "so the W/F split is validated on the UNFITTED xl point: " +
         "gate_model_pred_xl_sec = W/xlCores + F vs the measured xl min, " +
         "gate_model_xl_residual the relative error). " +
+        "v6.4 PROBE VALIDITY FLOOR: a probe reading below 0.25 (more cores " +
+        "SLOWER in absolute time - cache eviction mid-probe or GC churn from the " +
+        "previous session's teardown, observed once at 0.094) is a broken " +
+        "measurement, not degradation (which reads 0.3-0.5 and is stable), so the " +
+        "pair retries up to 2x with EVERY attempt kept in the probe history; a " +
+        "genuinely hammered host fails the retries too and stays disqualified. " +
         s"""The $hiC-to-$xlC ratio measures per-task fixed """ +
         "costs + per-wave stage-barrier latency that vanish when cluster tasks are " +
         "minutes long; reported for transparency, index-aligned with the xl trials.\"," +

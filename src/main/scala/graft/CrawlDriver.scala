@@ -524,6 +524,10 @@ object CrawlDriver {
     // superseded snapshot data; manifests/lineage survive
     val ex = graft.checkpoint.Expiry.expire(catalog)
     println(s"[expiry] dirs_deleted=${ex.dirsDeleted} bytes_freed=${ex.bytesFreed}")
+    // safe here: the run loop has drained, no commit is in flight
+    val orph = graft.checkpoint.Expiry.removeOrphans(catalog)
+    if (orph.dirsDeleted > 0)
+      println(s"[expiry] orphan_dirs_deleted=${orph.dirsDeleted} bytes_freed=${orph.bytesFreed}")
 
     spark.stop()
   }

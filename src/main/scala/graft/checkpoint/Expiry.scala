@@ -70,4 +70,20 @@ object Expiry {
     }
     stats
   }
+
+  /** Delete the leftovers of killed commits: snapshot dirs whose
+    * manifest never landed (Iceberg's `remove_orphan_files` analogue —
+    * [[expire]] reclaims SUPERSEDED data, this reclaims UNCOMMITTED
+    * data). They are invisible to every read path, but a resumed run
+    * that stops before re-committing the same id strands them forever,
+    * and a glob-based streaming source still lists their files.
+    *
+    * STRONGER contract than [[expire]]: no commit may be in flight —
+    * the commit being written at `latest + 1` is manifest-less by
+    * design and indistinguishable from a dead one on the filesystem.
+    * Run it only between crawl runs, like Iceberg orphan cleanup. */
+  def removeOrphans(catalog: SnapshotCatalog): Stats =
+    catalog.uncommittedSnapshotIds.foldLeft(Stats(0, 0)) { (acc, id) =>
+      acc + Stats(1, catalog.dropUncommittedSnapshot(id))
+    }
 }

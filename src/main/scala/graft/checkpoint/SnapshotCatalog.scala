@@ -258,8 +258,34 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
     * snapshot's manifest is NOT touched: per-partition lineage and the
     * committed row counts stay readable forever; only the superseded
     * bytes go. Returns bytes freed (0 when the table is absent). */
-  def dropTableData(id: Int, name: String): Long = {
-    val dir = snapshotPath(id).resolve(name)
+  def dropTableData(id: Int, name: String): Long =
+    sizeThenDelete(snapshotPath(id).resolve(name))
+
+  /** Snapshot ids present on disk WITHOUT a landed manifest — the
+    * leftovers of killed commits. Invisible to [[latest]] and every
+    * read path; they are reclaimed automatically only if the same id is
+    * re-committed, so a resumed run that stops earlier strands them
+    * forever (and a glob-based streaming source still lists their
+    * files). [[graft.checkpoint.Expiry.removeOrphans]] deletes them. */
+  def uncommittedSnapshotIds: Seq[Int] = {
+    if (!Files.isDirectory(snapsDir)) return Seq.empty
+    listDir(snapsDir)
+      .filter(p => p.getFileName.toString.forall(_.isDigit) &&
+        !Files.exists(p.resolve("manifest.json")))
+      .map(_.getFileName.toString.toInt).sorted
+  }
+
+  /** Delete an entire manifest-less snapshot dir (a killed commit's
+    * leftover). Refuses committed snapshots — lineage is never dropped
+    * this way. Returns bytes freed. */
+  def dropUncommittedSnapshot(id: Int): Long = {
+    val dir = snapshotPath(id)
+    require(!Files.exists(dir.resolve("manifest.json")),
+      s"snapshot $id is committed — refusing to drop it as an orphan")
+    sizeThenDelete(dir)
+  }
+
+  private def sizeThenDelete(dir: Path): Long = {
     if (!Files.isDirectory(dir)) return 0L
     val s = Files.walk(dir)
     val bytes =

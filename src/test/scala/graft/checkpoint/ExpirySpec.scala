@@ -100,6 +100,38 @@ class ExpirySpec extends SparkSpec {
     assert(Expiry.expire(c).dirsDeleted === 0)
   }
 
+  test("removeOrphans: killed-commit leftovers deleted, committed snapshots untouchable") {
+    import java.nio.file.{Files, Paths}
+    val (dir, c) = crawledDir()
+    val latest = c.latest.get
+    val seenBefore = seenSet(c)
+    // simulate two killed commits: a manifest-less dir at latest+1 (the
+    // common mid-commit kill) and a stray manifest.json.tmp (killed
+    // between the tmp write and the atomic move)
+    val dead1 = c.snapshotPath(latest + 1)
+    Files.createDirectories(dead1.resolve("frontier"))
+    Files.write(dead1.resolve("frontier").resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val dead2 = c.snapshotPath(latest + 2)
+    Files.createDirectories(dead2)
+    Files.write(dead2.resolve("manifest.json.tmp"), "{}".getBytes)
+    assert(c.uncommittedSnapshotIds === Seq(latest + 1, latest + 2))
+    assert(c.latest.get === latest, "turds must stay invisible to latest")
+
+    val stats = Expiry.removeOrphans(c)
+    assert(stats.dirsDeleted === 2 && stats.bytesFreed > 0L)
+    assert(!Files.exists(dead1) && !Files.exists(dead2))
+    assert(c.uncommittedSnapshotIds.isEmpty)
+    // idempotent, and committed state untouched
+    assert(Expiry.removeOrphans(c).dirsDeleted === 0)
+    assert(c.latest.get === latest)
+    assert(seenSet(c) === seenBefore)
+    // the primitive refuses to drop a committed snapshot
+    intercept[IllegalArgumentException](c.dropUncommittedSnapshot(latest))
+    // resume on the cleaned dir still extends normally
+    CrawlDriver.run(spark, c, idx1, rc(dir, nWaves = latest + 1))
+    assert(c.latest.get >= latest)
+  }
+
   test("post-expiry: resume, refresh and re-crawl behave exactly like the un-expired twin") {
     val (dir, c1) = crawledDir()
     val dir2 = freshDir()

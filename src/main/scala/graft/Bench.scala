@@ -607,9 +607,13 @@ object Bench {
         s""""window_qualified":$windowQualified,""" +
         s""""sec_local$loC":${f(lo.map(_.wallSec).getOrElse(Double.NaN))},""" +
         s""""sec_local$hiC":${f(hi.map(_.wallSec).getOrElse(Double.NaN))},""" +
-        s""""sec_local$xlC":${f(xlMin.map(_.wallSec).getOrElse(Double.NaN))},""" +
+        // when an override collapses xl onto the large tier, re-emitting
+        // the local$xlC fields would produce DUPLICATE JSON keys
+        (if (xlC != hiC)
+          s""""sec_local$xlC":${f(xlMin.map(_.wallSec).getOrElse(Double.NaN))},"""
+        else "") +
         s""""trials_sec_local$loC":${arr(loSecs)},"trials_sec_local$hiC":${arr(hiSecs)},""" +
-        s""""trials_sec_local$xlC":${arr(xlSecs)},""" +
+        (if (xlC != hiC) s""""trials_sec_local$xlC":${arr(xlSecs)},""" else "") +
         (if (medianMeaningful)
           s""""median_sec_local$loC":${f(median(loSecs))},"median_sec_local$hiC":${f(median(hiSecs))},"""
         else "") +
@@ -627,7 +631,7 @@ object Bench {
         s""""cpu_probe_history":${hist(cpuHist.toSeq)},"mem_probe_history":${hist(memHist.toSeq)},""" +
         (if (medianMeaningful) s""""scaling_efficiency_median":${f(effMedian)},""" else "") +
         s""""scaling_efficiency_steal_adjusted":${f(effAdj)},""" +
-        s""""scaling_efficiency_${hiC}_to_$xlC":${f(effHiXl)},""" +
+        (if (xlC != hiC) s""""scaling_efficiency_${hiC}_to_$xlC":${f(effHiXl)},""" else "") +
         s""""protocol":"gate=${loC}to$hiC cores (driver-sanctioned N-to-4N stand-in); """ +
         s"""BOTH gate levels run IDENTICAL partitioning (shuffle partitions=$hiC) - """ +
         "cluster-faithful: partitioning is a property of the job, executor count is " +

@@ -149,6 +149,22 @@ object TextQueries {
         .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
     }),
 
+    // oracle-checkable TWIN of q_embed_topk (round-4 verdict #7 family,
+    // same split as q_winnow_md5): rank by the ROUNDED score with a
+    // vec_id tiebreak — a total order both engines agree on (the
+    // passing q_embed_threshold oracle already proves the round-4
+    // scores match), unlike the raw-float k-boundary ties above
+    "q_embed_topk_r4" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(cosineCol(col("embedding"), col("qe")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // banded random-hyperplane LSH (the ANN scale path): b bands × r
     // bits, candidates share ANY band's bucket — mirrors the minhash
     // banding. At N=10^10 a single 8-bit band meant ~N/256 vectors per
@@ -161,6 +177,26 @@ object TextQueries {
     // centroid sample is xxhash64-seeded (Spark-specific); assignment
     // determinism + recall vs brute force are pinned in IvfSpec.
     "q_ann_ivf_assign" -> ((s, d) => Ivf.assign(t(s, d, "embeddings"))),
+    // oracle-checkable TWIN of q_ann_ivf_assign: same coarse-quantizer
+    // semantics (cell = argmax cosine over K centroids, lowest cell id
+    // on ties — [[Ivf]] normalizes its centroids, so its argmax-DOT is
+    // exactly argmax-cosine) but with SQL-expressible centroids (the
+    // first K=16 vectors by vec_id instead of the xxhash64-seeded
+    // sample) and the rounded-score total order the other twins use.
+    // DuckDB replays the full assignment end-to-end.
+    "q_ann_ivf_assign_r4" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val c = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid").asc)
+      e.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("cid"),
+          round(cosineCol(col("embedding"), col("ce")), 4).as("cs"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+    }),
     // the REGISTERED top-k executes the indexed read path: build/reuse
     // the cell-partitioned inverted file, then a partition-PRUNED probe
     // scan of nprobe cells (round-3 verdict: the registered plan must
@@ -178,6 +214,26 @@ object TextQueries {
       pairs
         .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
         .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.1)
+    }),
+
+    // oracle-checkable TWIN of q_embed_neardup (same split as the md5
+    // signature twins): the SAME exact-verify kernel (pairwise rounded
+    // cosine >= tau, id_a < id_b canonical order) run over a
+    // deterministic audit block (vec_id % 10 == 0) instead of the
+    // recall-based LSH candidate set — every step ANSI-SQL-expressible,
+    // so DuckDB replays it end-to-end. The block keeps the twin's pair
+    // count quadratic only in the block size (N/10 choose 2 per run),
+    // which is the same boundedness contract the production path gets
+    // from its per-bucket cap.
+    "q_embed_neardup_exact" -> ((s, d) => {
+      val e = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+        .crossJoin(broadcast(
+          e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))))
+        .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
@@ -493,6 +549,32 @@ object TextQueries {
              round(list_cosine_similarity(e.embedding, q.qe)::DOUBLE, 4) AS cos_sim
            FROM embeddings e, q WHERE e.vec_id <> 0)
          WHERE cos_sim >= 0.25""",
+    "q_embed_topk_r4" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         SELECT vec_id, cos_sim FROM (
+           SELECT e.vec_id,
+             round(list_cosine_similarity(e.embedding, q.qe)::DOUBLE, 4) AS cos_sim
+           FROM embeddings e, q WHERE e.vec_id <> 0)
+         ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+    "q_embed_neardup_exact" ->
+      """SELECT id_a, id_b, cos_sim FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding, b.embedding)::DOUBLE, 4)
+               AS cos_sim
+           FROM embeddings a, embeddings b
+           WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+             AND a.vec_id < b.vec_id)
+         WHERE cos_sim >= 0.1""",
+    "q_ann_ivf_assign_r4" ->
+      """WITH c AS (SELECT vec_id::INT AS cid, embedding AS ce
+                    FROM embeddings WHERE vec_id BETWEEN 1 AND 16)
+         SELECT vec_id, cell FROM (
+           SELECT e.vec_id, c.cid AS cell,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               round(list_cosine_similarity(e.embedding, c.ce)::DOUBLE, 4) DESC,
+               c.cid ASC) AS rn
+           FROM embeddings e, c)
+         WHERE rn = 1""",
     "q_lang_id" ->
       """SELECT doc_id, CASE
            WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'

@@ -386,10 +386,11 @@ object Bench {
   }
 
   /** "%.4f" with NaN/Inf mapped to -1 (a skipped probe must stay valid
-    * JSON — round-4 advice #1). */
+    * JSON — round-4 advice #1). Locale.ROOT: a decimal-comma default
+    * locale would render 0,8461 and break the one-line JSON contract. */
   private def f(d: Double): String =
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) "-1"
-    else "%.4f".format(d)
+    else "%.4f".formatLocal(java.util.Locale.ROOT, d)
 
   def main(args: Array[String]): Unit = {
     val tMain = System.nanoTime()
@@ -437,6 +438,11 @@ object Bench {
     val xlRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
     val loRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
     val hiRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
+    // hi runs from the TRIAL loop only (those interleaved with xl runs):
+    // the basis for the hi→xl ratio. take(xlRuns.size) over hiRuns broke
+    // whenever a skipped run compressed the arrays differently — extra-
+    // pair/requal runs then leaked into the "trial-aligned" min.
+    val trialHiRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
     val headlineRuns = scala.collection.mutable.ArrayBuffer.empty[CrawlTiming]
     var corpusPages = 0L
     var headlinePages = 0L
@@ -448,17 +454,20 @@ object Bench {
     // honest (round-4 advice #1: the old sentinel values auto-passed)
     var probeLoPre, probeHiPre, probeLo, probeHi = Double.NaN
     var memLoPre, memHiPre, memLo, memHi = Double.NaN
-    // v6.1 probe BRACKETS: chronological (endSec, efficiency) history of
-    // every cpu/mem probe round. A gate run is QUALIFIED when the nearest
-    // probe round before its start and after its end both pass (cpu ≥0.9,
-    // mem ≥0.8) and its own steal is <5% — so one degraded probe at bench
-    // start can no longer permanently disqualify a 30-minute run (r5 local
-    // finding: eff_raw 0.8167 discarded because the single pre-trials CPU
-    // probe read 0.867 during corpus-build writeback). The requal loop
-    // re-runs BOTH probe families after every extra pair, giving each pair
-    // a tight bracket.
-    val cpuHist = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val memHist = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    // v6.1 probe BRACKETS: chronological (endSec, efficiency, roundId)
+    // history of every cpu/mem probe attempt. A gate run is QUALIFIED
+    // when the nearest probe round before its start and after its end
+    // both pass (cpu ≥0.8, mem ≥0.65) and its own steal is <5% — so one
+    // degraded probe at bench start can no longer permanently disqualify
+    // a 30-minute run (r5 local finding: eff_raw 0.8167 discarded because
+    // the single pre-trials CPU probe read 0.867 during corpus-build
+    // writeback). The requal loop re-runs BOTH probe families after every
+    // extra pair, giving each pair a tight bracket. roundId groups the
+    // validity-floor retries of one probePair call: a round is judged by
+    // its FINAL reading on either side of the bracket.
+    val cpuHist = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int)]
+    val memHist = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Int)]
+    var probeSeq = 0
 
     def effAt(l: Double, h: Double, ratio: Double) = (l / h) / ratio
     def eff(l: Double, h: Double) = effAt(l, h, hiC.toDouble / loC)
@@ -476,14 +485,16 @@ object Bench {
       * discarded ones stay visible in the artifact. A genuinely
       * hammered host fails the retries too and stays disqualified. */
     def probePair(run: Int => Double,
-        hist: scala.collection.mutable.ArrayBuffer[(Double, Double)]): (Double, Double) = {
+        hist: scala.collection.mutable.ArrayBuffer[(Double, Double, Int)]): (Double, Double) = {
+      probeSeq += 1
+      val id = probeSeq
       var lo = run(loC); var hi = run(hiC)
-      hist += ((elapsedTot(), eff(lo, hi)))
+      hist += ((elapsedTot(), eff(lo, hi), id))
       var retries = 0
       while (eff(lo, hi) < 0.25 && retries < 2) {
         retries += 1
         lo = run(loC); hi = run(hiC)
-        hist += ((elapsedTot(), eff(lo, hi)))
+        hist += ((elapsedTot(), eff(lo, hi), id))
       }
       (lo, hi)
     }
@@ -497,11 +508,20 @@ object Bench {
       memLo = ml; memHi = mh
     }
 
-    /** Nearest probe before the run's start and after its end both pass. */
-    def bracketOk(r: CrawlTiming, hist: Seq[(Double, Double)], thr: Double): Boolean =
+    /** Nearest probe ROUND before the run's start and after its end both
+      * pass — each round judged by its FINAL reading: the validity-floor
+      * retries (v6.4) mean a round's earlier attempts can be broken
+      * measurements, and picking the first attempt at/after the run's end
+      * would re-introduce exactly the false disqualification the floor
+      * was added to remove. (Rounds never interleave with gate runs, so
+      * the chronologically-last attempt ≤ start IS its round's final
+      * reading; the after side must look the round up by id.) */
+    def bracketOk(r: CrawlTiming, hist: Seq[(Double, Double, Int)], thr: Double): Boolean =
       r.startSec >= 0 &&
         hist.filter(_._1 <= r.startSec).lastOption.exists(_._2 >= thr) &&
-        hist.find(_._1 >= r.endSec).exists(_._2 >= thr)
+        hist.find(_._1 >= r.endSec)
+          .map(first => hist.filter(_._3 == first._3).last)
+          .exists(_._2 >= thr)
 
     // Probe thresholds are calibrated to each probe's own IDLE-host
     // distribution, not to 1.0: measured across idle rounds (2026-08-18,
@@ -540,11 +560,11 @@ object Bench {
       val effAdj = (for (l <- lo; h <- hi) yield eff(l.adjustedSec, h.adjustedSec)).getOrElse(Double.NaN)
       val medianMeaningful = loRuns.size >= 3 && hiRuns.size >= 3
       val effMedian = eff(median(loSecs), median(hiSecs))
-      // the secondary hi→xl ratio: index-aligned with the xl trials
+      // the secondary hi→xl ratio: over the TRIAL-phase hi runs only
       // (extra gate pairs grow only lo/hi — min over ALL hi runs would
       // bias this ratio down; round-3 advice)
-      val effHiXl = (for (x <- xlMin; _ <- hi if hiRuns.nonEmpty) yield
-        effAt(hiRuns.take(xlRuns.size).map(_.wallSec).min, x.wallSec, xlC.toDouble / hiC))
+      val effHiXl = (for (x <- xlMin if trialHiRuns.nonEmpty) yield
+        effAt(trialHiRuns.map(_.wallSec).min, x.wallSec, xlC.toDouble / hiC))
         .getOrElse(Double.NaN)
       val probeEff = eff(probeLo, probeHi)
       val memEff = eff(memLo, memHi)
@@ -584,13 +604,13 @@ object Bench {
       val predXlSec = wCoreSec / xlC + fFixedSec
       val xlResidual = xlMin.map(x => (x.wallSec - predXlSec) / x.wallSec)
         .getOrElse(Double.NaN)
-      def hist(xs: Seq[(Double, Double)]) =
-        xs.map { case (t, e) => s"[${f(t)},${f(e)}]" }.mkString("[", ",", "]")
+      def hist(xs: Seq[(Double, Double, Int)]) =
+        xs.map { case (t, e, _) => s"[${f(t)},${f(e)}]" }.mkString("[", ",", "]")
       val value = headline.map(h => h.fetched / h.wallSec).getOrElse(Double.NaN)
       val qJson = queryJsonStr
       s"""{"metric":"URLs fetched+extracted per second (full crawl loop, local[$headlineCores])",""" +
         s""""value":${f(value)},"unit":"urls/sec","queries":$qJson,"sf":"$sfDir",""" +
-        s""""failed":$failed,"fail_reason":"${failReason.replaceAll("[\"\\\\\\n\\r]", " ").take(300)}",""" +
+        s""""failed":$failed,"fail_reason":"${failReason.replaceAll("[\"\\\\]|\\p{Cntrl}", " ").take(300)}",""" +
         s""""stage":"$stage","protocol_version":"v6.4","elapsed_sec":${f(elapsedTot())},""" +
         s""""total_budget_sec":$totalSec,"determinism_ok":$determinismOk,""" +
         s""""probes_skipped":$skipProbes,""" +
@@ -702,6 +722,11 @@ object Bench {
           .replaceFirst("\"failed\":false", "\"failed\":true")
           .replaceFirst("\"fail_reason\":\"\"",
             "\"fail_reason\":\"watchdog: budget overrun, main hung\"")
+        // the on-disk artifact must agree: a harness that falls back to
+        // the file (stdout lost) must not read a truncated run as healthy
+        try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          (j + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case NonFatal(_) => () }
         println(j)
         System.out.flush()
         Runtime.getRuntime.halt(0)
@@ -931,7 +956,7 @@ object Bench {
         gateRun(xlC, xlC).foreach(xlRuns += _)
         val tPair = elapsedTot()
         gateRun(loC, hiC).foreach(loRuns += _) // gate pair:
-        gateRun(hiC, hiC).foreach(hiRuns += _) // SAME partitioning
+        gateRun(hiC, hiC).foreach { r => hiRuns += r; trialHiRuns += r } // SAME partitioning
         lastPairSec = elapsedTot() - tPair
         worstTripleSec = math.max(worstTripleSec, elapsedTot() - t0)
         i += 1

@@ -262,12 +262,35 @@ object Ivf {
     val base =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val keyHash = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        cacheKey + "#" + contentFingerprint(cacheKey)).toLong & 0xffffffffL)
-    val indexDir = s"$base/graft-ivf-index-$keyHash-k$k"
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_centroids.csv")))
+    // path and fingerprint hashed SEPARATELY: the path component names
+    // the corpus, the fingerprint component names its generation — so a
+    // rewritten corpus gets a fresh index AND the superseded generation
+    // is deletable by prefix (a combined hash leaked one whole index per
+    // rewrite into RAM-backed /dev/shm, unbounded across bench/test
+    // cycles that regenerate corpora at the same path)
+    def h32(s: String): String = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
+    val pathHash = h32(cacheKey)
+    val fpHash = h32(contentFingerprint(cacheKey))
+    val prefix = s"graft-ivf-index-$pathHash-"
+    val indexDir = s"$base/$prefix$fpHash-k$k"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_centroids.csv"))) {
+      // reclaim stale generations of THIS corpus path before building
+      val baseP = java.nio.file.Paths.get(base)
+      import scala.jdk.CollectionConverters._
+      val stale = java.nio.file.Files.list(baseP)
+      try stale.iterator().asScala
+        .filter(d => d.getFileName.toString.startsWith(prefix) &&
+          d.toString != indexDir && java.nio.file.Files.isDirectory(d))
+        .foreach { d =>
+          val w = java.nio.file.Files.walk(d)
+          try w.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally w.close()
+        }
+      finally stale.close()
       index(embeddings, indexDir, k)
+    }
     // the query vector is the caller's input (here: one pushed-down
     // point lookup on the source table — NOT a scan of the index)
     val qRow = embeddings.filter(col("vec_id") === queryId)

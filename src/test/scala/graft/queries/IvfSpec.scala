@@ -132,12 +132,13 @@ class IvfSpec extends SparkSpec {
     assert(first.nonEmpty)
 
     // simulate the crash window: parquet _SUCCESS present, sidecar gone
-    val keyHash = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        key + "#" + fp1).toLong & 0xffffffffL)
+    def h32(s: String) = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
     val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
       "/dev/shm" else System.getProperty("java.io.tmpdir")
-    val idxDir = java.nio.file.Paths.get(s"$base/graft-ivf-index-$keyHash-k${Ivf.DefaultCells}")
+    def dirFor(fp: String) = java.nio.file.Paths.get(
+      s"$base/graft-ivf-index-${h32(key)}-${h32(fp)}-k${Ivf.DefaultCells}")
+    val idxDir = dirFor(fp1)
     assert(java.nio.file.Files.exists(idxDir.resolve("_centroids.csv")),
       s"cache must exist where the key points: $idxDir")
     java.nio.file.Files.delete(idxDir.resolve("_centroids.csv"))
@@ -146,11 +147,21 @@ class IvfSpec extends SparkSpec {
       "a sidecar-less cache must be rebuilt, not served broken")
     assert(rebuilt.map(_.getLong(0)).toSeq === first.map(_.getLong(0)).toSeq)
 
-    // rewrite the corpus at the SAME path → fingerprint must move
+    // rewrite the corpus at the SAME path → fingerprint must move, AND
+    // the superseded index generation must be physically reclaimed
+    // (RAM-backed /dev/shm would otherwise leak one index per rewrite)
     Thread.sleep(5) // ensure a distinct mtime even on coarse clocks
-    e.limit(20).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e2 = e.limit(20).cache()
+    e2.count()
+    e2.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val fp2 = Ivf.contentFingerprint(key)
     assert(fp1 !== fp2, "rewritten corpus must change the cache fingerprint")
+    val fresh = spark.read.parquet(s"$dir/embeddings.parquet")
+    Ivf.indexedTopK(spark, fresh, cacheKey = key, topK = 3).collect()
+    assert(java.nio.file.Files.exists(dirFor(fp2).resolve("_centroids.csv")),
+      "rewritten corpus must get a fresh index generation")
+    assert(!java.nio.file.Files.exists(idxDir),
+      "the superseded index generation must be deleted, not leaked")
   }
 
   test("registered queries run against testdata shape; topk executes the PRUNED plan") {

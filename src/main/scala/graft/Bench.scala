@@ -388,9 +388,26 @@ object Bench {
   /** "%.4f" with NaN/Inf mapped to -1 (a skipped probe must stay valid
     * JSON — round-4 advice #1). Locale.ROOT: a decimal-comma default
     * locale would render 0,8461 and break the one-line JSON contract. */
-  private def f(d: Double): String =
+  private[graft] def f(d: Double): String =
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) "-1"
     else "%.4f".formatLocal(java.util.Locale.ROOT, d)
+
+  /** The v6.1/v6.4 probe-bracket rule, extracted for unit testing
+    * (BenchSpec): a run qualifies against one probe family when the
+    * nearest probe ROUND before its start and after its end both pass
+    * `thr` — each round judged by its FINAL reading, because the
+    * validity-floor retries (v6.4) mean a round's earlier attempts can
+    * be broken measurements. `hist` entries are (endSec, efficiency,
+    * roundId), chronological; rounds never interleave with gate runs,
+    * so the chronologically-last attempt ≤ start IS its round's final
+    * reading, while the after side must look the round up by id. */
+  private[graft] def bracketPass(startSec: Double, endSec: Double,
+      hist: Seq[(Double, Double, Int)], thr: Double): Boolean =
+    startSec >= 0 &&
+      hist.filter(_._1 <= startSec).lastOption.exists(_._2 >= thr) &&
+      hist.find(_._1 >= endSec)
+        .map(first => hist.filter(_._3 == first._3).last)
+        .exists(_._2 >= thr)
 
   def main(args: Array[String]): Unit = {
     val tMain = System.nanoTime()
@@ -508,20 +525,9 @@ object Bench {
       memLo = ml; memHi = mh
     }
 
-    /** Nearest probe ROUND before the run's start and after its end both
-      * pass — each round judged by its FINAL reading: the validity-floor
-      * retries (v6.4) mean a round's earlier attempts can be broken
-      * measurements, and picking the first attempt at/after the run's end
-      * would re-introduce exactly the false disqualification the floor
-      * was added to remove. (Rounds never interleave with gate runs, so
-      * the chronologically-last attempt ≤ start IS its round's final
-      * reading; the after side must look the round up by id.) */
+    /** See [[bracketPass]] (extracted, unit-tested in BenchSpec). */
     def bracketOk(r: CrawlTiming, hist: Seq[(Double, Double, Int)], thr: Double): Boolean =
-      r.startSec >= 0 &&
-        hist.filter(_._1 <= r.startSec).lastOption.exists(_._2 >= thr) &&
-        hist.find(_._1 >= r.endSec)
-          .map(first => hist.filter(_._3 == first._3).last)
-          .exists(_._2 >= thr)
+      bracketPass(r.startSec, r.endSec, hist, thr)
 
     // Probe thresholds are calibrated to each probe's own IDLE-host
     // distribution, not to 1.0: measured across idle rounds (2026-08-18,

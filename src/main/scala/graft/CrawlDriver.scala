@@ -102,11 +102,9 @@ object CrawlDriver {
     * fold or re-fetched at a later wave. */
   private[graft] def compactedFetched(
       catalog: SnapshotCatalog, upToCommitted: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val all = fetchedView(catalog, upToCommitted)
-    val w = Window.partitionBy(col("url_hash")).orderBy(col("wave").desc)
-    val latest = all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    val latest = graft.frontier.Wave.firstPerKey(all,
+      Seq(col("url_hash")), Seq(col("wave").desc))
     catalog.readDeltasUpToOpt(upToCommitted, "retracted") match {
       case None => latest
       case Some(retr) =>

@@ -295,10 +295,30 @@ final class SnapshotCatalog(rootDir: String, spark: SparkSession) {
     bytes
   }
 
-  /** A meta value recorded at commit time (e.g. run_id, n_shards). */
+  /** A meta value recorded at commit time (e.g. run_id, n_shards).
+    * Matches escaped characters and undoes [[esc]]'s write-time
+    * escaping — a value containing `"` or `\` must round-trip, not come
+    * back truncated at the first escaped quote. */
   def metaValue(id: Int, key: String): Option[String] =
-    ("\"" + java.util.regex.Pattern.quote(key) + "\":\"([^\"]*)\"").r
-      .findFirstMatchIn(manifest(id)).map(_.group(1))
+    ("\"" + java.util.regex.Pattern.quote(key) + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+      .findFirstMatchIn(manifest(id)).map(m => unesc(m.group(1)))
+
+  /** Inverse of [[esc]] for the escapes it emits. */
+  private def unesc(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case e => b += e; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.result()
+  }
 
   /** Minimal JSON string escaping — table names / meta values are
     * caller-supplied (a run_id containing `"` or `\` must not produce a

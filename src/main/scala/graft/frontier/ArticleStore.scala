@@ -2,7 +2,6 @@ package graft.frontier
 
 import graft.checkpoint.SnapshotCatalog
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Merged views over the append-only snapshot deltas (SURVEY.md §3 J5/A4).
@@ -15,12 +14,9 @@ import org.apache.spark.sql.functions._
 object ArticleStore {
 
   /** Last-write-wins merge of already-deduped base rows + raw deltas. */
-  private def merged(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("url_hash"))
-      .orderBy(col("wave").desc, col("publish_ts").desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  private def merged(df: DataFrame): DataFrame =
+    Wave.firstPerKey(df, Seq(col("url_hash")),
+      Seq(col("wave").desc, col("publish_ts").desc))
 
   /** Latest version of every article as of snapshot k.
     *

@@ -15,11 +15,19 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object RobotsParser {
 
-  /** Rules applying to `agent` (falling back to the `*` group). */
+  /** Rules applying to `agent` — RFC 9309 group selection: when any
+    * group names the specific agent, ONLY those groups apply; the `*`
+    * groups apply only when no specific group matches (they are a
+    * FALLBACK, not a union — 'User-agent: specialbot / Allow: /public'
+    * followed by 'User-agent: * / Disallow: /' must leave specialbot
+    * fully allowed, not denied by the star group's Disallow). */
   def parse(host: String, robotsTxt: String, agent: String = "*"): Seq[RobotsRule] = {
-    var inMatchingGroup = false
+    var groupSpecific = false // current group names `agent` specifically
+    var groupStar = false // current group names `*`
     var groupHasAgents = false // directives before any User-agent are global
-    val out = Seq.newBuilder[RobotsRule]
+    val specific = Seq.newBuilder[RobotsRule]
+    val star = Seq.newBuilder[RobotsRule]
+    var sawSpecificGroup = false
     val wanted = agent.toLowerCase
 
     robotsTxt.linesIterator.foreach { raw =>
@@ -31,21 +39,32 @@ object RobotsParser {
           val value = line.substring(idx + 1).trim
           key match {
             case "user-agent" =>
-              if (!groupHasAgents) { inMatchingGroup = false; groupHasAgents = true }
+              if (!groupHasAgents) {
+                groupSpecific = false; groupStar = false; groupHasAgents = true
+              }
               val a = value.toLowerCase
+              if (a == "*") groupStar = true
               // empty UA value must match nothing ("".contains is always true)
-              if (a == "*" || (a.nonEmpty && (a == wanted || wanted.contains(a))))
-                inMatchingGroup = true
+              else if (a.nonEmpty && (a == wanted || wanted.contains(a))) {
+                groupSpecific = true
+                sawSpecificGroup = true
+              }
             case "allow" | "disallow" =>
               groupHasAgents = false
-              if (inMatchingGroup && value.nonEmpty)
-                out += RobotsRule(host, value, allowed = key == "allow")
+              if (value.nonEmpty) {
+                val rule = RobotsRule(host, value, allowed = key == "allow")
+                // a group naming both the agent and `*` counts as specific
+                if (groupSpecific) specific += rule
+                else if (groupStar) star += rule
+              }
             case _ => groupHasAgents = false // crawl-delay/sitemap etc: ignored
           }
         }
       }
     }
-    val rules = out.result()
+    // `wanted == "*"` only ever matches star groups, so sawSpecificGroup
+    // stays false and the default crawl reads the star rules as before
+    val rules = if (sawSpecificGroup) specific.result() else star.result()
     // default-allow root so hosts with only Disallow rules still permit "/"
     if (rules.exists(r => r.path_prefix == "/" )) rules
     else rules :+ RobotsRule(host, "/", allowed = true)

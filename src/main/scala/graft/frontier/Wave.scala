@@ -58,10 +58,17 @@ object Wave {
         * the replay-gate crawl ordering. */
       fetched: DataFrame,
       denied: DataFrame,
-      /** one row per frontier-batch URL with its fate this wave
+      /** one row per URL of the wave's DEDUPED batch with its fate
         * (fetched / deferred / duplicate / denied) and the partition
         * that decided it — the G4 per-partition metrics source. Counts
-        * derive from THIS plan, never from driver-side literals. */
+        * derive from THIS plan, never from driver-side literals.
+        * In-batch first-wins losers (same url_hash enqueued twice in
+        * ONE wave — possible after a refresh collides with a stale
+        * discovered entry; the committed frontier itself is deduped)
+        * are dropped inside the fused probe cogroup before flagging
+        * and are NOT ledger rows: "duplicate" means seen-set duplicate.
+        * So sum(statuses) counts distinct batch keys, not raw frontier
+        * rows — the (rare) in-batch drop count is the difference. */
       ledger: DataFrame,
       /** persisted intermediates — caller unpersists after commit. */
       cached: Seq[DataFrame])
@@ -123,14 +130,20 @@ object Wave {
 
   // -------------------------------------------------- in-batch dedupe
 
+  /** Shared top-1-per-key idiom (W3 dedupe, the article merge view, the
+    * fetched-log compaction, the latest-capture collapse): deterministic
+    * winner per `keys` under `order` — callers must make `order` total
+    * (tie-breaks end in a deterministic key, per the file contract). */
+  def firstPerKey(df: DataFrame, keys: Seq[Column], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn",
+      row_number().over(Window.partitionBy(keys: _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
   /** W3 first-wins dedupe inside one frontier batch: one row per
     * url_hash, deterministic winner by (priority, kind, url). */
-  def dedupeInBatch(frontier: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("url_hash"))
-      .orderBy(col("priority").asc, col("kind").asc, col("url").asc)
-    frontier.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  def dedupeInBatch(frontier: DataFrame): DataFrame =
+    firstPerKey(frontier, Seq(col("url_hash")),
+      Seq(col("priority").asc, col("kind").asc, col("url").asc))
 
   // ------------------------------------------------ politeness budgets
 
@@ -392,13 +405,18 @@ object Wave {
     * leaves the result hash-partitioned on url_hash (the layout
     * [[pageIndex]] builds explicitly), so no extra repartition. */
   def pageIndexLatest(pages: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("url_hash")).orderBy(col("warc_ts").desc)
-    pages.select(graft.url.UrlParts(col("url")).as("__u"), col("warc_ts"), col("text"))
+    val parsed = pages
+      .select(graft.url.UrlParts(col("url")).as("__u"), col("warc_ts"), col("text"))
       .select(col("__u.url_hash").as("url_hash"), col("__u.url").as("url"),
         kindOfUrl(col("__u.url")).as("kind"), col("warc_ts"), col("text"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "warc_ts")
+    // tie-break equal-warc_ts captures by content hash (url_hash is the
+    // partition key — constant within the window — so without this the
+    // winner would be shuffle arrival order, breaking the replay /
+    // parallelism-invariance contract every tie-break must end in a
+    // deterministic key)
+    firstPerKey(parsed, Seq(col("url_hash")),
+      Seq(col("warc_ts").desc, xxhash64(col("text")).desc))
+      .drop("warc_ts")
       .sortWithinPartitions(col("kind"))
   }
 

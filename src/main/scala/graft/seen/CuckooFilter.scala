@@ -40,7 +40,10 @@ final class CuckooFilter private (
   private def setSlot(b: Int, s: Int, v: Short): Unit = table(b * SlotsPerBucket + s) = v
 
   def insert(key: Long): Boolean = {
-    if (saturated) return true
+    // count tracks logically-inserted keys on EVERY path (a saturated
+    // filter answers "maybe" for them, so they are in) — insertFp and
+    // the saturation fall-through below count the same way
+    if (saturated) { count += 1; return true }
     val fp = fingerprint(key)
     val i1 = bucket1(key, mask)
     val i2 = altBucket(i1, fp, mask)
@@ -169,10 +172,19 @@ object CuckooFilter {
   val MaxKicks = 500
   val Empty: Short = 0
 
-  /** 95% target load factor headroom. */
+  /** 95% target load factor headroom.
+    *
+    * Bucket cap 2^27: the 2-byte-per-slot table is then 2^29 slots =
+    * 1 GiB, the ceiling an Int-indexed byte array (serialize()) can
+    * hold — 2^28 buckets would need a 2^31-byte buffer and overflow.
+    * A 2^27-bucket shard holds ~450M keys before saturating to
+    * "always maybe" (correct, slower), so past ~450M expected keys PER
+    * SHARD the shard count, not the shard size, is the scale dimension
+    * (nShards is a [[graft.CrawlDriver.RunConfig]] knob persisted in
+    * snapshot meta). */
   def bucketsFor(expectedItems: Long): Int = {
     val needed = math.max(1L, math.ceil(expectedItems / (SlotsPerBucket * 0.84)).toLong)
-    Integer.highestOneBit(math.min(needed * 2 - 1, 1 << 28).toInt)
+    Integer.highestOneBit(math.min(needed * 2 - 1, 1 << 27).toInt)
   }
 
   def deserialize(bytes: Array[Byte]): CuckooFilter = {

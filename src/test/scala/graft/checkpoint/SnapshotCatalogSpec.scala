@@ -41,6 +41,9 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(c.metaValue(3, "n_shards") === Some("16"))
     assert(c.metaValue(2, "n_shards") === None)
     assert(c.manifest(3).contains("""r\"un\\0"""))
+    // the reader must UNDO the write-time escaping — a value with " or \
+    // must round-trip exactly, not come back truncated/escaped
+    assert(c.metaValue(3, "run_id") === Some("""r"un\0"""))
   }
 
   test("footer counts: executor-parallel path above the driver threshold, exact either way") {

@@ -28,6 +28,37 @@ class RobotsParserSpec extends SparkSpec {
     assert(!r.exists(_.path_prefix == "/graft-only/"), "* group must not include bot-specific rules")
     val bot = RobotsParser.parse("h.example", txt, agent = "graftbot")
     assert(bot.exists(_.path_prefix == "/graft-only/"))
+    // RFC 9309 group selection: the specific group REPLACES the * group
+    assert(!bot.exists(_.path_prefix == "/private/"),
+      "a matching specific group must override the * group, not union with it")
+  }
+
+  test("specific group overrides * (RFC 9309); * is a fallback only") {
+    // an Allow-only specific group next to a Disallow-all * group: the
+    // specific agent must be fully allowed (union semantics would deny)
+    val t = "User-agent: specialbot\nAllow: /public\n\nUser-agent: *\nDisallow: /\n"
+    val special = RobotsParser.parse("h", t, agent = "specialbot")
+    assert(!special.exists(r => !r.allowed), s"no Disallow may leak from *: $special")
+    assert(special.contains(graft.model.RobotsRule("h", "/public", true)))
+    assert(special.contains(graft.model.RobotsRule("h", "/", true)), "default-allow root")
+    // other agents still get the * group
+    val other = RobotsParser.parse("h", t, agent = "otherbot")
+    assert(other.contains(graft.model.RobotsRule("h", "/", false)))
+    // an EMPTY matching specific group means everything allowed. NB: a
+    // blank line does NOT close a group (RFC 9309 — consecutive UA lines
+    // join one group even across blanks), so the group is closed by the
+    // classic empty `Disallow:` (no value → no rule emitted).
+    val t2 = "User-agent: specialbot\nDisallow:\n\nUser-agent: *\nDisallow: /\n"
+    val empty = RobotsParser.parse("h", t2, agent = "specialbot")
+    assert(empty === Seq(graft.model.RobotsRule("h", "/", true)))
+    // a group naming BOTH the agent and * counts as the specific group
+    val t3 = "User-agent: specialbot\nUser-agent: *\nDisallow: /both/\n"
+    val both = RobotsParser.parse("h", t3, agent = "specialbot")
+    assert(both.contains(graft.model.RobotsRule("h", "/both/", false)))
+    // ...and across a blank line it is STILL one group (RFC 9309)
+    val t4 = "User-agent: specialbot\n\nUser-agent: *\nDisallow: /both/\n"
+    val both2 = RobotsParser.parse("h", t4, agent = "specialbot")
+    assert(both2.contains(graft.model.RobotsRule("h", "/both/", false)))
   }
 
   test("parsed rules drive the wave gate with longest-prefix-wins") {

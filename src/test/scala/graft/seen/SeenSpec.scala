@@ -61,6 +61,34 @@ class CuckooFilterSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(tiny.isSaturated)
     many.foreach(k => assert(tiny.mightContain(k)))
   }
+
+  test("size counts every logical insert consistently across paths") {
+    // saturated direct inserts and saturated merges must count the same
+    // way: size = logically-inserted keys (a saturated filter answers
+    // "maybe" for all of them, so they are in)
+    val tiny = new CuckooFilter(64)
+    val many = keys(1000, 4L)
+    many.foreach(tiny.insert)
+    assert(tiny.isSaturated)
+    assert(tiny.size === many.length.toLong,
+      "saturated insert() must keep counting like insertFp does")
+    val other = new CuckooFilter(64) // same expected capacity → same geometry
+    assert(other.numBuckets === tiny.numBuckets, "same shard geometry")
+    keys(100, 5L).foreach(other.insert)
+    val before = tiny.size
+    tiny.mergeInPlace(other)
+    assert(tiny.size === before + other.size, "merge adds the other side's count")
+  }
+
+  test("bucket cap keeps the serialized form inside an Int-indexed array") {
+    // 2^28 buckets would need a 2^31-byte buffer (Int overflow in
+    // serialize); the cap is 2^27 = a 1 GiB table + 13-byte header
+    val capBuckets = CuckooFilter.bucketsFor(Long.MaxValue)
+    assert(capBuckets === (1 << 27))
+    val bytes = 4L + 8L + 1L + capBuckets.toLong * CuckooFilter.SlotsPerBucket * 2L
+    assert(bytes > 0 && bytes <= Int.MaxValue.toLong,
+      s"max-capacity filter must be serializable: $bytes bytes")
+  }
 }
 
 class ShardedSeenSpec extends SparkSpec {

@@ -215,13 +215,15 @@ object Ivf {
         .withColumn("vec_id", lit(0L)).withColumn("cell", lit(0))
         .withColumn("cos_sim", lit(0.0)).limit(0)
     val probes = probeCells(queryVec, cs, nprobe)
-    val qe = typedLit(queryVec)
     val cand = spark.read.parquet(indexDir)
       .filter(col("cell").isin(probes.map(Integer.valueOf): _*))
     val slice = excludeId.fold(cand)(id => cand.filter(col("vec_id") =!= id))
     slice
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
-        TextQueries.cosineCol(col("embedding"), qe).as("cos_raw"))
+        // r6: fused DotMatrix query-cosine kernel (the query vector is
+        // already driver-known here) — value-identical to the old
+        // cosineCol(embedding, typedLit(queryVec)) interpreted HOFs
+        TextQueries.cosineToQueryCol(col("embedding"), queryVec).as("cos_raw"))
       .orderBy(col("cos_raw").desc, col("vec_id").asc)
       .limit(topK)
       .select(col("vec_id"), col("cell"), round(col("cos_raw"), 4).as("cos_sim"))

@@ -70,14 +70,19 @@ object RelationalQueries {
     }),
 
     // W3: first-wins dedupe by key (linenumbers repeat per order in this
-    // corpus — tie-break through every output column for determinism)
+    // corpus — tie-break through every output column for determinism).
+    // r6 (guide §2.3 "aggregate before you shuffle"): the row_number
+    // window shuffled + sorted every lineitem row; min(struct(...)) is
+    // the same (l_linenumber, l_partkey)-lexicographic winner but with
+    // partial map-side aggregation — the exchange carries one row per
+    // order key instead of every line, and there is no sort at all.
     "q_firstwins" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_orderkey"))
-        .orderBy(col("l_linenumber").asc, col("l_partkey").asc)
       t(s, d, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(min(struct(col("l_linenumber"), col("l_partkey"))).as("__m"))
+        .select(col("l_orderkey"),
+          col("__m.l_linenumber").as("l_linenumber"),
+          col("__m.l_partkey").as("l_partkey"))
     }),
 
     // windows with frames: running sum per user over time
@@ -107,10 +112,15 @@ object RelationalQueries {
         .select(col("c_custkey"), col("c_name"))
     }),
 
-    // J4: semi join (the robots-allowed shape)
+    // J4: semi join (the robots-allowed shape). r6 (guide §2.3): the r5
+    // plan broadcast-built a hash relation over EVERY lineitem row;
+    // distinct() first collapses the build side to the ~p_partkey key
+    // set with partial aggregation before anything is broadcast — same
+    // semi-join verdict per part row (membership is duplicate-blind).
     "q_semi_join" -> ((s, d) => {
+      val keys = t(s, d, "lineitem").select(col("l_partkey")).distinct()
       t(s, d, "part").filter(col("p_size") >= 25)
-        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .join(broadcast(keys), col("p_partkey") === col("l_partkey"), "left_semi")
         .select(col("p_partkey"), col("p_brand"))
     }),
 
@@ -130,18 +140,23 @@ object RelationalQueries {
           .as("revenue"))
     }),
 
-    // J5: upsert merge — full outer + coalesce, last-write-wins
+    // J5: upsert merge — last-write-wins old/new totals per key. r6
+    // (guide §2.4 "remove shuffles outright"): the r5 plan scanned
+    // orders twice, aggregated each branch (2 exchanges) and FULL-OUTER
+    // joined them (a third); conditional aggregation computes both
+    // branch totals in ONE scan + ONE exchange — sum(when(pred, x))
+    // over no matching rows is null, exactly the absent side of the
+    // full-outer join, so merged/was_updated are unchanged.
     "q_upsert_merge" -> ((s, d) => {
-      val o = t(s, d, "orders")
       val cutoff = lit("1998-01-01").cast("timestamp")
-      val old = o.filter(col("o_orderdate") < cutoff)
-        .groupBy(col("o_custkey").as("k"))
-        .agg(round(sum(col("o_totalprice")), 2).as("old_total"))
-      val fresh = o.filter(col("o_orderdate") >= cutoff)
-        .groupBy(col("o_custkey").as("k"))
-        .agg(round(sum(col("o_totalprice")), 2).as("new_total"))
-      old.join(fresh, Seq("k"), "full_outer")
-        .select(col("k").as("o_custkey"),
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          round(sum(when(col("o_orderdate") < cutoff, col("o_totalprice"))), 2)
+            .as("old_total"),
+          round(sum(when(col("o_orderdate") >= cutoff, col("o_totalprice"))), 2)
+            .as("new_total"))
+        .select(col("o_custkey"),
           coalesce(col("new_total"), col("old_total")).as("merged_total"),
           col("new_total").isNotNull.as("was_updated"))
     }),
@@ -184,7 +199,14 @@ object RelationalQueries {
     }),
 
     // P3/J4: robots longest-prefix gating semantics, oracle-checked —
-    // inline rules table, per-url verdict = most specific matching prefix
+    // inline rules table, per-url verdict = most specific matching
+    // prefix. r6 (guide §2.3): the longest-prefix winner is now a
+    // max(struct(prefix_len, allowed)) aggregation over the matched
+    // rows (partial map-side agg, no per-key sort) instead of a
+    // row_number window — matched prefix lengths are distinct per path
+    // (prefixes of one path nest), so max-by-length is the same winner
+    // the window picked; the production gate (Wave.robotsGate) already
+    // folds the same way.
     "q_robots_prefix" -> ((s, d) => {
       import s.implicits._
       val rules = Seq(
@@ -193,38 +215,46 @@ object RelationalQueries {
       val urls = t(s, d, "orders")
         .select(col("o_orderkey"),
           concat(lit("/p"), pmod(col("o_orderkey"), lit(20))).as("path"))
-      val matched = urls.join(broadcast(rules),
-          startswith(col("path"), col("path_prefix")))
-      val w = Window.partitionBy(col("o_orderkey"))
-        .orderBy(length(col("path_prefix")).desc)
-      matched.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("o_orderkey"), col("path"), col("allowed"))
+      urls.join(broadcast(rules), startswith(col("path"), col("path_prefix")))
+        .groupBy(col("o_orderkey"), col("path"))
+        .agg(max(struct(length(col("path_prefix")).as("len"),
+          col("allowed").as("allowed"))).as("__m"))
+        .select(col("o_orderkey"), col("path"), col("__m.allowed").as("allowed"))
     }),
 
     // A2/G1: seed-source progress — accounts (customer) LEFT JOIN their
-    // crawl output (orders), zero-progress seeds included
+    // crawl output (orders), zero-progress seeds included. r6 (guide
+    // §2.3 "aggregate before you shuffle"): orders is pre-aggregated
+    // per custkey BEFORE the join, so the join moves one rolled-up row
+    // per customer instead of every order, and the post-join groupBy
+    // disappears; count(o_orderkey)/sum over the left join's null row
+    // ≡ coalesce(…, 0) on the missing aggregate.
     "q_seed_progress" -> ((s, d) => {
+      val perCust = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("__n"), sum(col("o_totalprice")).as("__s"))
       t(s, d, "customer")
-        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("n_orders"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spend"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("__n"), lit(0L)).as("n_orders"),
+          round(coalesce(col("__s"), lit(0.0)), 2).as("total_spend"))
     }),
 
     // J5/A4: the re-crawl shape — last-write-wins per key across
-    // repeated captures, first vs latest value + update flag
+    // repeated captures, first vs latest value + update flag. r6 (guide
+    // §2.3): first/last rows are min/max of struct(ts, event_id, value)
+    // — (ts, event_id) is the windows' total order, value rides along
+    // and never decides (event ids are unique) — computed with partial
+    // aggregation in one exchange instead of two full window sorts +
+    // a groupBy over the ranked rows.
     "q_recrawl_update" -> ((s, d) => {
-      val wLast = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val wFirst = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts").asc, col("event_id").asc)
       t(s, d, "events")
-        .withColumn("rl", row_number().over(wLast))
-        .withColumn("rf", row_number().over(wFirst))
         .groupBy(col("user_id"))
-        .agg(round(max(when(col("rf") === 1, col("value"))), 4).as("first_value"),
-          round(max(when(col("rl") === 1, col("value"))), 4).as("last_value"))
+        .agg(
+          round(min(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value"), 4).as("first_value"),
+          round(max(struct(col("ts"), col("event_id"), col("value")))
+            .getField("value"), 4).as("last_value"))
         .withColumn("was_updated", col("first_value") =!= col("last_value"))
     }),
 

@@ -31,6 +31,28 @@ object TextQueries {
     dot / (na * nb)
   }
 
+  /** ‖a‖₂ with [[cosineCol]]'s exact arithmetic (f32→f64 widening,
+    * index-order left-fold) — hoisted out so a side's norm is computed
+    * once instead of once per pair (r6 guide §1.2 step 2). */
+  def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** cos(embedding, q) for a DRIVER-KNOWN query vector q: the dot rides
+    * the fused [[graft.functions.DotMatrix]] codegen kernel (1-row
+    * matrix) and ‖q‖ is a literal computed with the same left-fold —
+    * value-identical to `cosineCol(emb, lit(q))` (EquivCheck + spec),
+    * ~10× cheaper than the interpreted per-row zip_with/aggregate
+    * lambdas (r6: q_embed_threshold/topk/topk_r4, IVF probe). */
+  def cosineToQueryCol(emb: Column, q: Seq[Float]): Column = {
+    val qd = q.map(_.toDouble)
+    var s = 0.0
+    qd.foreach(x => s += x * x)
+    val nq = math.sqrt(s)
+    val dot = element_at(graft.functions.DotMatrix(emb, Seq(qd)), 1)
+    dot / (normCol(emb) * lit(nq))
+  }
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,9 +73,11 @@ object TextQueries {
         .select(col("keeper"), col("copies"), col("text_len"))
     }),
 
+    // r6: the two regex passes ([^a-z0-9 ]→' ', ' +'→' ') + trim are one
+    // fused byte scan over the lowered string (NormalizeAscii — byte-
+    // identical, TextKernelsSpec); the grouping/shuffle shape is unchanged
     "q_dedup_norm" -> ((s, d) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val norm = graft.functions.TextKernels2.normalizeAscii(lower(col("text")))
       t(s, d, "documents")
         .select(col("doc_id"), xxhash64(norm).as("__h"), length(norm).as("__len"))
         .groupBy(col("__h"))
@@ -98,52 +122,45 @@ object TextQueries {
         .withColumnRenamed("doc_id", "vec_id"))),
 
     // token-set Jaccard for deterministic candidate pairs (doc, doc+1).
-    // Intersection by AGGREGATION, not a token-equality self-join: a hot
-    // token ("the") appearing in k docs fans out k² rows under the join
-    // but only 2k under the union+groupBy — skew-proof at corpus scale.
-    // A token is shared by pair p=(p,p+1) iff group (p,tok) has both a
-    // row from doc p (pid=p) and one from doc p+1 (pid=p), i.e. count=2.
+    // r6: the pair key is doc_id — unique, no skew — so join the two
+    // DISTINCT-TOKEN-SET rows directly and intersect in-row
+    // (array_intersect, codegen) instead of exploding every token into
+    // the union+groupBy counting pipeline: same rows, one doc_id-keyed
+    // exchange instead of three token-keyed ones, and a hot token never
+    // becomes a join key at all (the old design's skew concern is moot
+    // when the join key is the unique doc id).
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = t(s, d, "documents")
-      val toks = docs.select(col("doc_id"),
-        explode(array_distinct(split(col("text"), "\\s+"))).as("tok"))
-      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val contrib = toks.select(col("doc_id").as("pid"), col("tok"))
-        .unionByName(toks.select((col("doc_id") - 1).as("pid"), col("tok")))
-      val inter = contrib.groupBy(col("pid"), col("tok"))
-        .agg(count(lit(1)).as("c")).filter(col("c") === 2)
-        .groupBy(col("pid")).agg(count(lit(1)).as("n_common"))
-        .withColumnRenamed("pid", "doc_id")
-      sizes.as("s1")
-        .join(sizes.as("s2"), col("s2.doc_id") === col("s1.doc_id") + 1)
-        .join(inter, inter("doc_id") === col("s1.doc_id"), "left")
+      val sets = docs.select(col("doc_id"),
+        array_distinct(split(col("text"), "\\s+")).as("__tk"))
+      sets.as("s1")
+        .join(sets.as("s2"), col("s2.doc_id") === col("s1.doc_id") + 1)
         .select(col("s1.doc_id").as("doc_id"),
-          coalesce(col("n_common"), lit(0L)).as("n_common"),
-          round(coalesce(col("n_common"), lit(0L)).cast("double") /
-            (col("s1.sz") + col("s2.sz") - coalesce(col("n_common"), lit(0L))), 4)
-            .as("jaccard"))
+          size(col("s1.__tk")).cast("long").as("sz1"),
+          size(col("s2.__tk")).cast("long").as("sz2"),
+          size(array_intersect(col("s1.__tk"), col("s2.__tk")))
+            .cast("long").as("n_common"))
+        .select(col("doc_id"), col("n_common"),
+          round(col("n_common").cast("double") /
+            (col("sz1") + col("sz2") - col("n_common")), 4).as("jaccard"))
     }),
 
     // ---- similarity search -----------------------------------------
-    // brute-force cosine vs query vector, thresholded (oracle-checked)
+    // brute-force cosine vs query vector, thresholded (oracle-checked).
+    // r6: the query vector is read once (a pushed-down point lookup) and
+    // the per-row cosine runs through the fused DotMatrix kernel instead
+    // of interpreted zip_with/aggregate lambdas — value-identical
+    // (EquivCheck), whole-stage codegen.
     "q_embed_threshold" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(cosineCol(col("embedding"), col("qe")), 4).as("cos_sim"))
+      brutCos(t(s, d, "embeddings"))
+        .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.25)
     }),
 
     // brute-force top-k (rows-only: k-boundary float ties are not
     // oracle-stable; correctness pinned in SimilaritySpec)
     "q_embed_topk" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), cosineCol(col("embedding"), col("qe")).as("cos_raw"))
+      brutCos(t(s, d, "embeddings"))
         .orderBy(col("cos_raw").desc, col("vec_id").asc)
         .limit(10)
         .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
@@ -155,12 +172,8 @@ object TextQueries {
     // passing q_embed_threshold oracle already proves the round-4
     // scores match), unlike the raw-float k-boundary ties above
     "q_embed_topk_r4" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(cosineCol(col("embedding"), col("qe")), 4).as("cos_sim"))
+      brutCos(t(s, d, "embeddings"))
+        .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(10)
     }),
@@ -184,18 +197,52 @@ object TextQueries {
     // first K=16 vectors by vec_id instead of the xxhash64-seeded
     // sample) and the rounded-score total order the other twins use.
     // DuckDB replays the full assignment end-to-end.
+    // r6: the 16 centroids are collected once (16 rows — same pattern as
+    // Ivf.centroids) and the per-vector argmax computes all 16 rounded
+    // cosines in ONE codegen projection (DotMatrix dots + literal
+    // centroid norms) — replaces the crossJoin-explode (N×16 rows) +
+    // window shuffle with a linear pass; array_position(array_max) keeps
+    // the exact (cs desc, cid asc) tie-break because the cs array is
+    // ordered by ascending cid. Value-identical (EquivCheck; the
+    // arithmetic is DotMatrix's pinned f32→f64 index-order fold).
     "q_ann_ivf_assign_r4" -> ((s, d) => {
       val e = t(s, d, "embeddings")
-      val c = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid").asc)
-      e.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("cid"),
-          round(cosineCol(col("embedding"), col("ce")), 4).as("cs"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
+      val cRows = e.filter(col("vec_id").between(1, 16))
+        .select(col("vec_id").cast("int").as("cid"), col("embedding"))
+        .collect().sortBy(_.getInt(0))
+      if (cRows.isEmpty) {
+        // empty-corpus fallback: the original plan shape (yields empty)
+        val c = e.filter(col("vec_id").between(1, 16))
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid").asc)
+        e.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("cid"),
+            round(cosineCol(col("embedding"), col("ce")), 4).as("cs"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cell"))
+      } else {
+        val mat: Seq[Seq[Double]] =
+          cRows.toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
+        val norms: Seq[Double] = mat.map { v =>
+          var s2 = 0.0; v.foreach(x => s2 += x * x); math.sqrt(s2)
+        }
+        val cids: Seq[Int] = cRows.toSeq.map(_.getInt(0))
+        val nbArr = typedLit(norms)
+        val cidArr = typedLit(cids)
+        val cs = transform(sequence(lit(0), lit(mat.size - 1)), j =>
+          round(element_at(col("__dots"), j + 1) /
+            (col("__na") * element_at(nbArr, j + 1)), 4))
+        e.select(col("vec_id"),
+            graft.functions.DotMatrix(col("embedding"), mat).as("__dots"),
+            normCol(col("embedding")).as("__na"))
+          .select(col("vec_id"), cs.as("__cs"))
+          .select(col("vec_id"),
+            element_at(cidArr,
+              array_position(col("__cs"), array_max(col("__cs"))).cast("int"))
+              .as("cell"))
+      }
     }),
     // the REGISTERED top-k executes the indexed read path: build/reuse
     // the cell-partitioned inverted file, then a partition-PRUNED probe
@@ -211,11 +258,20 @@ object TextQueries {
     "q_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val pairs = annCandidatePairs(annBuckets(e))
+      // r6: each side's norm is computed once at the (small) join input
+      // instead of once per candidate pair — same arithmetic as
+      // cosineCol (dot / (na * nb)), value-identical
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
       pairs
-        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), Seq("id_a"))
-        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), Seq("id_b"))
+        .join(e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          normCol(col("embedding")).as("__na")), Seq("id_a"))
+        .join(e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+          normCol(col("embedding")).as("__nb")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+          round(dot(col("emb_a"), col("emb_b")) / (col("__na") * col("__nb")), 4)
+            .as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
     }),
 
@@ -230,12 +286,20 @@ object TextQueries {
     // from its per-bucket cap.
     "q_embed_neardup_exact" -> ((s, d) => {
       val e = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
-      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      // r6: norms hoisted to the crossJoin inputs (N values instead of
+      // N²) — same arithmetic as cosineCol, value-identical
+      def dot(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+          normCol(col("embedding")).as("__na"))
         .crossJoin(broadcast(
-          e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))))
+          e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+            normCol(col("embedding")).as("__nb"))))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+          round(dot(col("emb_a"), col("emb_b")) / (col("__na") * col("__nb")), 4)
+            .as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
     }),
 
@@ -300,41 +364,60 @@ object TextQueries {
       .when(text.rlike("(^| )(le|les|avec)( |$)"), "fr")
       .otherwise("en")
 
+  /** Brute-force cosine vs the `vec_id = 0` query vector, as
+    * `(vec_id, cos_raw)` over every other vector — r6 shared plan for
+    * the three q_embed_* queries: the query vector comes from ONE
+    * pushed-down point lookup (the Ivf.indexedTopK pattern) and the
+    * cosine is the fused [[cosineToQueryCol]] codegen kernel. Falls
+    * back to the r5 crossJoin shape when the corpus has no query row
+    * (yields the same empty result with the same schema). */
+  private def brutCos(e: DataFrame): DataFrame = {
+    val qRow = e.filter(col("vec_id") === 0).select(col("embedding")).head(1)
+    if (qRow.isEmpty) {
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), cosineCol(col("embedding"), col("qe")).as("cos_raw"))
+    } else {
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          cosineToQueryCol(col("embedding"), qRow(0).getSeq[Float](0)).as("cos_raw"))
+    }
+  }
+
   /** 16 minhashes over 3-token shingles, banded 8×2 (S-curve threshold
-    * (1/8)^(1/2) ≈ 0.35 Jaccard — catches training-data near-dups). */
+    * (1/8)^(1/2) ≈ 0.35 Jaccard — catches training-data near-dups).
+    *
+    * r6: the 16 signatures come from the fused [[graft.functions
+    * .MinHashSigsXx]] kernel — one codegen pass per document — instead
+    * of exploding every shingle into a 16-min groupBy (one full shuffle
+    * of the shingle set + interpreted HOF shingling, gone); the band
+    * bucket hashing on top is unchanged builtins, so buckets are
+    * bit-identical (TextKernelsSpec + EquivCheck). */
   def minhashBands(docs: DataFrame): DataFrame = {
-    val withToks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    val sigs = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
-    val shingled = withToks.select(col("doc_id"),
-      explode(array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
-        .as("sh"))
-    val minCols = (0 until 16).map(i =>
-      min(xxhash64(concat(col("sh"), lit(s"#$i")))).as(s"m$i"))
-    val sigs = shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        graft.functions.TextKernels2.minhashSigsXx(col("toks")).as("__m"))
     val bands = (0 until 8).map { b =>
       struct(lit(b).as("band"),
         xxhash64(concat_ws(",",
-          (0 until 2).map(j => col(s"m${b * 2 + j}").cast("string")): _*), lit(b))
-          .as("bucket"))
+          (0 until 2).map(j => element_at(col("__m"), b * 2 + j + 1).cast("string")): _*),
+          lit(b)).as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** Classic 64-bit SimHash: sign of per-bit vote sums over token hashes. */
-  def simhash(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b"))
-    val agg = toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    // distinct powers of two: arithmetic sum == bitwise OR (incl. sign bit)
-    val sim = (0 until 64).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash"))
-  }
+  /** Classic 64-bit SimHash: sign of per-bit vote sums over token hashes.
+    * r6: per-document fused vote kernel ([[graft.functions.SimhashXx]])
+    * — the explode→64-sum groupBy shuffle is gone; values identical. */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(col("toks").isNotNull) // explode(null) emitted no row
+      .select(col("doc_id"),
+        graft.functions.TextKernels2.simhashXx(col("toks")).as("simhash"))
 
   /** LSH banding parameters: 4 bands × 16 hyperplanes. Per band the
     * bucket space is 2^16 — at N=10^10 that's ~150k vectors per bucket
@@ -393,13 +476,32 @@ object TextQueries {
   val AnnBucketCap = 4096L
 
   /** Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket,
-    * oversized buckets capped. */
+    * oversized buckets capped.
+    *
+    * r6 (guide §2.4): the cap used to be a groupBy-count + re-join,
+    * which evaluated the whole upstream signature pipeline once per
+    * occurrence of `buckets` — the executed plan scanned the corpus and
+    * recomputed the signatures 4× (counts side, join side, and both
+    * self-join sides; 8 parquet scans in the r5 q_minhash_pairs plan).
+    * A COUNT WINDOW over (band, bucket) needs the same single exchange
+    * the self-join needs anyway, so the signature pipeline runs ONCE
+    * below one Exchange that the self-join's two sides then share via
+    * ReusedExchange, already partitioned AND sorted on the join key
+    * (zero additional exchanges). Same counts, same cap verdicts, same
+    * pairs. */
   def annCandidatePairs(buckets: DataFrame, cap: Long = AnnBucketCap): DataFrame = {
-    val sized = buckets.join(
-      buckets.groupBy(col("band"), col("bucket"))
-        .agg(count(lit(1)).as("__n")).filter(col("__n") <= cap),
-      Seq("band", "bucket"))
-    sized.as("x").join(sized.as("y"),
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    val sized = buckets
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= cap).drop("__n")
+    // merge hint: without it the planner broadcast-builds one side of
+    // the self-join, which duplicates the whole signature pipeline (the
+    // r5 plan scanned the corpus 8×); as a sort-merge join both sides
+    // are the SAME exchange+sort the count window already needs, so the
+    // second side becomes a ReusedExchange and the signatures compute
+    // exactly once
+    sized.as("x").hint("merge").join(sized.as("y").hint("merge"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
@@ -413,62 +515,50 @@ object TextQueries {
     annCandidatePairs(
       minhashBands(docs).withColumnRenamed("doc_id", "vec_id"), cap)
 
-  /** Karp-Rabin rolling hashes over 5-grams of token hashes, winnowed to
-    * the per-window minimum (document fingerprinting for near-dup at
-    * scale; Schleimer et al. "Winnowing", SIGMOD'03 — public paper). */
-  def winnow(docs: DataFrame): DataFrame = {
-    val withToks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+  /** Karp-Rabin-style hashes over token 5-grams, winnowed to the
+    * per-window minimum (document fingerprinting for near-dup at scale;
+    * Schleimer et al. "Winnowing", SIGMOD'03 — public paper).
+    *
+    * r6: gram hashing + window minima + first-occurrence distinct are
+    * one fused codegen pass ([[graft.functions.WinnowFpsXx]]) — the
+    * interpreted transform/slice/array_min lambdas (O(grams × window)
+    * interpreted evals + an array copy per window) are gone; the
+    * fingerprint SET per document is identical (TextKernelsSpec +
+    * EquivCheck pin it). */
+  def winnow(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 5)
-    // rolling hash of token 5-grams via higher-order transform
-    val grams = expr(
-      """transform(sequence(0, size(toks)-5),
-           i -> xxhash64(concat(toks[i],' ',toks[i+1],' ',toks[i+2],' ',toks[i+3],' ',toks[i+4])))""")
-    val winnowed = expr(
-      """array_distinct(transform(sequence(0, greatest(size(grams)-4, 0)),
-           i -> array_min(slice(grams, i+1, 4))))""")
-    withToks.withColumn("grams", grams)
-      .withColumn("fp", explode(winnowed))
-      .select(col("doc_id"), col("fp"))
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels2.winnowFpsXx(col("toks"))).as("fp"))
 
   /** Winnowing with an MD5 gram hash (lexicographic min over the hex
     * strings): same 5-gram / 4-window scheme as [[winnow]], but every
     * step is ANSI-SQL-portable, so the DuckDB oracle replays the exact
     * fingerprints — the winnowing semantics carries a full oracle check
-    * while [[winnow]] stays the cheap integer-hash production variant. */
-  def winnowMd5(docs: DataFrame): DataFrame = {
-    val withToks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    * while [[winnow]] stays the cheap integer-hash production variant.
+    * (r6: fused kernel, same fingerprints — see [[winnow]].) */
+  def winnowMd5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 5)
-    val grams = expr(
-      """transform(sequence(0, size(toks)-5),
-           i -> md5(concat(toks[i],' ',toks[i+1],' ',toks[i+2],' ',toks[i+3],' ',toks[i+4])))""")
-    val winnowed = expr(
-      """array_distinct(transform(sequence(0, greatest(size(grams)-4, 0)),
-           i -> array_min(slice(grams, i+1, 4))))""")
-    withToks.withColumn("grams", grams)
-      .withColumn("fp", explode(winnowed))
-      .select(col("doc_id"), col("fp"))
-  }
+      .select(col("doc_id"),
+        explode(graft.functions.TextKernels2.winnowFpsMd5(col("toks"))).as("fp"))
 
   /** [[minhashBands]] over an MD5 signature family: identical shingle /
     * 16-sig / 8×2 banding scheme, but sig i = lexicographic min of
     * md5(shingle + "#i") hex strings and bucket = md5 of the band's sig
     * pair — fully ANSI-portable, so the DuckDB oracle replays the exact
-    * buckets ([[minhashBands]] stays the production xxhash64 variant). */
+    * buckets ([[minhashBands]] stays the production xxhash64 variant).
+    * (r6: fused signature kernel, same buckets — see [[minhashBands]].) */
   def minhashBandsMd5(docs: DataFrame): DataFrame = {
-    val withToks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+    val sigs = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
       .filter(size(col("toks")) >= 3)
-    val shingled = withToks.select(col("doc_id"),
-      explode(array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))")))
-        .as("sh"))
-    val minCols = (0 until 16).map(i =>
-      min(md5(concat(col("sh"), lit(s"#$i")))).as(s"m$i"))
-    val sigs = shingled.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        graft.functions.TextKernels2.minhashSigsMd5(col("toks")).as("__m"))
     val bands = (0 until 8).map { b =>
       struct(lit(b.toLong).as("band"),
-        md5(concat_ws(",", col(s"m${b * 2}"), col(s"m${b * 2 + 1}"), lit(b.toString)))
-          .as("bucket"))
+        md5(concat_ws(",", element_at(col("__m"), b * 2 + 1),
+          element_at(col("__m"), b * 2 + 2), lit(b.toString))).as("bucket"))
     }
     sigs.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -479,22 +569,13 @@ object TextQueries {
     * engines without unsigned-hex gymnastics — per-bit ±1 votes, sign of
     * the vote sum sets the bit. Bit b = bit (b%4) of hex digit 15-b/4
     * (digit 1 = most significant), so simhash60 = Σ 2^b over winning
-    * bits < 2^60. DuckDB replays the exact value from the same digits. */
-  def simhashMd5(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(col("text"), "\\s+")).as("tok"))
-      .withColumn("hx", substring(md5(col("tok")), 1, 15))
-    def dv(p: Int): Column = conv(substring(col("hx"), p, 1), 16, 10).cast("int")
-    val withDigits = toks.select(col("doc_id") +:
-      (1 to 15).map(p => dv(p).as(s"d$p")): _*)
-    val bitSums = for { p <- 1 to 15; k <- 0 until 4 } yield
-      sum(when(shiftright(col(s"d$p"), k).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b${(15 - p) * 4 + k}")
-    val agg = withDigits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 60).map(b =>
-      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash60"))
-  }
+    * bits < 2^60. DuckDB replays the exact value from the same digits.
+    * (r6: fused vote kernel, same values — see [[simhash]].) */
+  def simhashMd5(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .filter(col("toks").isNotNull) // explode(null) emitted no row
+      .select(col("doc_id"),
+        graft.functions.TextKernels2.simhashMd5(col("toks")).as("simhash60"))
 
   /** The md5-banding CTE shared by the q_minhash_md5 / q_lsh_pairs_md5
     * oracles (16 min-sigs, 8 bands, bucket = md5 of the sig pair). */

@@ -64,12 +64,24 @@ object ExtractArticle {
     val b = input
     val n = b.numBytes
 
+    // ONE dispatch pass finds the first occurrence of all five
+    // top-level literals (r6: the five independent find()s re-scanned
+    // the page once per literal — appmsgext/comments sit near the END
+    // of a page, so extraction paid ~4 full-page scans; this pass +
+    // the body-close scan is ~2). First-occurrence semantics per
+    // literal is exactly what find(b, lit, 0) returned.
+    val tops = findTops(b)
+    val tLit = tops(0)
+    val dLit = tops(1)
+    val pLit = tops(2)
+    val aLit = tops(3)
+    val cLit = tops(4)
+
     // title: <h2 ...TITLE_LIT...[^>]*> \s* (.*?) </h2>, then 0x20-trim.
     // Single-scan is faithful to regex backtracking: if the first
     // literal occurrence has no '>' (or no closing tag) after it, no
     // later occurrence can have one either.
     var title: UTF8String = UTF8String.EMPTY_UTF8
-    val tLit = find(b, TitleLit, 0)
     if (tLit >= 0) {
       val gt = indexOfByte(b, '>'.toByte, tLit + TitleLit.length)
       if (gt >= 0) {
@@ -88,7 +100,6 @@ object ExtractArticle {
 
     // body: <div id="js_content"[^>]*>(.*?)</div>, UNTRIMMED
     var body: UTF8String = UTF8String.EMPTY_UTF8
-    val dLit = find(b, BodyLit, 0)
     if (dLit >= 0) {
       val gt = indexOfByte(b, '>'.toByte, dLit + BodyLit.length)
       if (gt >= 0) {
@@ -101,9 +112,13 @@ object ExtractArticle {
     // else the regex would retry at the next literal occurrence
     var publish: java.lang.Long = null
     var from = 0
+    var first = true
     var searching = true
     while (searching) {
-      val p = find(b, PublishLit, from)
+      // first candidate comes from the fused pass; a malformed first
+      // occurrence falls back to the incremental retry scan (rare)
+      val p = if (first) pLit else find(b, PublishLit, from)
+      first = false
       if (p < 0) searching = false
       else {
         val ds = p + PublishLit.length
@@ -119,7 +134,6 @@ object ExtractArticle {
     // appmsgext snippet → read_num / like_num
     var read: Integer = null
     var like: Integer = null
-    val aLit = find(b, AppMsgLit, 0)
     if (aLit >= 0) {
       val start = aLit + AppMsgLit.length
       val close = find(b, ScriptClose, start)
@@ -131,7 +145,6 @@ object ExtractArticle {
 
     // comments payload: raw slice between the script literals
     var commentsJson: UTF8String = null
-    val cLit = find(b, CommentsLit, 0)
     if (cLit >= 0) {
       val start = cLit + CommentsLit.length
       val close = find(b, ScriptClose, start)
@@ -178,6 +191,43 @@ object ExtractArticle {
     var i = math.max(from, 0)
     while (i < n) { if (b.getByte(i) == target) return i; i += 1 }
     -1
+  }
+
+  /** First occurrences of the five top-level literals in ONE pass,
+    * dispatching on the first byte ('<' for the four tag literals, 'v'
+    * for the publish literal) — per-literal result identical to
+    * find(b, lit, 0). Returns [-1…] positions as
+    * (title, body, publish, appmsg, comments). */
+  private def findTops(b: UTF8String): Array[Int] = {
+    val n = b.numBytes
+    var title = -1; var body = -1; var publish = -1
+    var appmsg = -1; var comments = -1
+    var remaining = 5
+    var i = 0
+    while (i < n && remaining > 0) {
+      val c = b.getByte(i)
+      if (c == '<') {
+        if (title < 0 && matchesAt(b, TitleLit, i)) { title = i; remaining -= 1 }
+        if (body < 0 && matchesAt(b, BodyLit, i)) { body = i; remaining -= 1 }
+        if (appmsg < 0 && matchesAt(b, AppMsgLit, i)) { appmsg = i; remaining -= 1 }
+        if (comments < 0 && matchesAt(b, CommentsLit, i)) { comments = i; remaining -= 1 }
+      } else if (c == 'v' && publish < 0 && matchesAt(b, PublishLit, i)) {
+        publish = i; remaining -= 1
+      }
+      i += 1
+    }
+    Array(title, body, publish, appmsg, comments)
+  }
+
+  /** needle matches b at position `at` (first byte already dispatched). */
+  private def matchesAt(b: UTF8String, needle: Array[Byte], at: Int): Boolean = {
+    if (at + needle.length > b.numBytes) return false
+    var j = 1
+    while (j < needle.length) {
+      if (b.getByte(at + j) != needle(j)) return false
+      j += 1
+    }
+    true
   }
 
   /** First occurrence of `needle` at or after `from` (naive scan — the

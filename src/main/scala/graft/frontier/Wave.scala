@@ -107,22 +107,18 @@ object Wave {
         withPath.hint("shuffle_hash").join(rulesByHost, Seq("host"), "left")
       else withPath.join(broadcast(rulesByHost), Seq("host"), "left")
     // longest matching prefix wins; equal-length tie → allow wins (RFC
-    // 9309 least-restrictive tie-break). The fold is order-independent:
-    // the result is (max matching len, "any allow rule at that len"), so
-    // collect_list's post-shuffle nondeterminism cannot flip a verdict.
-    // No rules / no match → allow.
-    val verdict = aggregate(
-      filter(col("__rules"),
-        r => startswith(col("__path"), r.getField("path_prefix"))),
-      struct(lit(-1).as("len"), lit(true).as("allowed")),
-      (acc, r) => when(
-        length(r.getField("path_prefix")) > acc.getField("len") ||
-          (length(r.getField("path_prefix")) === acc.getField("len") &&
-            r.getField("allowed")),
-        struct(length(r.getField("path_prefix")).as("len"),
-          r.getField("allowed").as("allowed"))).otherwise(acc))
+    // 9309 least-restrictive tie-break). The verdict is order-
+    // independent: the result is (max matching len, "any allow rule at
+    // that len"), so collect_list's post-shuffle nondeterminism cannot
+    // flip it. No rules / no match → allow. r6: the fold runs as the
+    // fused codegen kernel [[graft.functions.RobotsAllowed]] — the
+    // higher-order aggregate/filter lambdas were interpreted per
+    // frontier row, and the gate is evaluated up to three times per
+    // wave (allowed branch, denied table, metrics ledger);
+    // RobotsKernelSpec pins kernel ≡ fold.
+    val verdict = graft.functions.RobotsAllowed(col("__rules"), col("__path"))
     val tagged = joined.withColumn("__allowed",
-      when(col("__rules").isNull, lit(true)).otherwise(verdict.getField("allowed")))
+      when(col("__rules").isNull, lit(true)).otherwise(verdict))
       .drop("__rules", "__path")
     (tagged.filter(col("__allowed")).drop("__allowed"),
       tagged.filter(!col("__allowed")).drop("__allowed"))

@@ -44,8 +44,12 @@ object RobotsParser {
               }
               val a = value.toLowerCase
               if (a == "*") groupStar = true
-              // empty UA value must match nothing ("".contains is always true)
-              else if (a.nonEmpty && (a == wanted || wanted.contains(a))) {
+              // empty UA value must match nothing; match on product-token
+              // PREFIX (RFC 9309 product tokens), not substring — a group
+              // for an unrelated bot whose name merely appears inside this
+              // agent ('bot' vs 'graftbot') must not count as specific and
+              // silently suppress the `*` group's Disallow rules
+              else if (a.nonEmpty && (a == wanted || wanted.startsWith(a))) {
                 groupSpecific = true
                 sawSpecificGroup = true
               }

@@ -277,20 +277,40 @@ object Ivf {
     val prefix = s"graft-ivf-index-$pathHash-"
     val indexDir = s"$base/$prefix$fpHash-k$k"
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "_centroids.csv"))) {
-      // reclaim stale generations of THIS corpus path before building
+      // reclaim SUPERSEDED generations of THIS corpus path before
+      // building: only dirs whose fingerprint component differs from the
+      // current fpHash (all k variants of the live generation stay — they
+      // index the same corpus bytes and remain servable). Best-effort
+      // throughout: /dev/shm is world-shared, so another user's dir or a
+      // concurrent JVM can make any list/walk/delete step throw
+      // (AccessDenied, DirectoryNotEmpty from mid-delete recreation) and
+      // cleanup failure must never prevent building or serving the index.
+      // Callers must consume DataFrames returned by probeIndexed before
+      // the source corpus is rewritten: a rewrite supersedes this
+      // generation and a later build may reclaim the files a still-lazy
+      // plan references.
       val baseP = java.nio.file.Paths.get(base)
       import scala.jdk.CollectionConverters._
-      val stale = java.nio.file.Files.list(baseP)
-      try stale.iterator().asScala
-        .filter(d => d.getFileName.toString.startsWith(prefix) &&
-          d.toString != indexDir && java.nio.file.Files.isDirectory(d))
-        .foreach { d =>
-          val w = java.nio.file.Files.walk(d)
-          try w.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
-          finally w.close()
-        }
-      finally stale.close()
+      import scala.util.control.NonFatal
+      val liveGen = s"$prefix$fpHash-"
+      try {
+        val stale = java.nio.file.Files.list(baseP)
+        try stale.iterator().asScala
+          .filter { d =>
+            val n = d.getFileName.toString
+            n.startsWith(prefix) && !n.startsWith(liveGen) &&
+              java.nio.file.Files.isDirectory(d)
+          }
+          .foreach { d =>
+            try {
+              val w = java.nio.file.Files.walk(d)
+              try w.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.deleteIfExists(f))
+              finally w.close()
+            } catch { case NonFatal(_) => () } // leave the dir; retry next build
+          }
+        finally stale.close()
+      } catch { case NonFatal(_) => () }
       index(embeddings, indexDir, k)
     }
     // the query vector is the caller's input (here: one pushed-down

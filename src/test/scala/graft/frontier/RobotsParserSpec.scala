@@ -61,6 +61,22 @@ class RobotsParserSpec extends SparkSpec {
     assert(both2.contains(graft.model.RobotsRule("h", "/both/", false)))
   }
 
+  test("specific-group match is product-token prefix, not substring (r5 advice)") {
+    // a group for an unrelated bot whose token merely appears INSIDE this
+    // agent's name must NOT count as specific — under substring matching
+    // it would silently suppress the * group's Disallow rules (over-crawl)
+    val t = "User-agent: bot\nAllow: /other\n\nUser-agent: *\nDisallow: /\n"
+    val r = RobotsParser.parse("h", t, agent = "graftbot")
+    assert(r.contains(graft.model.RobotsRule("h", "/", false)),
+      "the * group's Disallow must survive an unrelated substring group")
+    assert(!r.exists(_.path_prefix == "/other"))
+    // a true token PREFIX does match (RFC 9309 product-token matching)
+    val t2 = "User-agent: graft\nAllow: /mine\n\nUser-agent: *\nDisallow: /\n"
+    val r2 = RobotsParser.parse("h", t2, agent = "graftbot")
+    assert(r2.contains(graft.model.RobotsRule("h", "/mine", true)))
+    assert(!r2.exists(r => !r.allowed), "prefix-matched group replaces *")
+  }
+
   test("parsed rules drive the wave gate with longest-prefix-wins") {
     val rules = RobotsParser.parseTable(
       Seq(("h.example", txt)).toDF("host", "robots_txt"))

@@ -164,6 +164,40 @@ class IvfSpec extends SparkSpec {
       "the superseded index generation must be deleted, not leaked")
   }
 
+  test("reclaim keeps all k variants of the LIVE generation; stale generations go") {
+    // round-5 advice: the reclaim prefix must be fingerprint-scoped —
+    // building for one k must not delete still-valid current-fingerprint
+    // indexes of the same corpus at other k values
+    val dir = plantedDir()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val key = s"$dir/embeddings.parquet"
+    def h32(s: String) = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL)
+    val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else System.getProperty("java.io.tmpdir")
+    val prefix = s"$base/graft-ivf-index-${h32(key)}-"
+    val fp = h32(Ivf.contentFingerprint(key))
+    // a sibling k variant of the CURRENT generation, and a stale one
+    val liveSibling = java.nio.file.Paths.get(s"$prefix$fp-k999")
+    val staleGen = java.nio.file.Paths.get(s"${prefix}deadbeef-k999")
+    for (d <- Seq(liveSibling, staleGen)) {
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.writeString(d.resolve("part-0.parquet"), "x")
+    }
+    try {
+      Ivf.indexedTopK(spark, e, cacheKey = key, topK = 3).collect()
+      assert(java.nio.file.Files.exists(liveSibling),
+        "same-fingerprint k variant must survive a build at another k")
+      assert(!java.nio.file.Files.exists(staleGen),
+        "different-fingerprint generation must be reclaimed")
+    } finally {
+      for (d <- Seq(liveSibling, staleGen) if java.nio.file.Files.exists(d)) {
+        java.nio.file.Files.deleteIfExists(d.resolve("part-0.parquet"))
+        java.nio.file.Files.deleteIfExists(d)
+      }
+    }
+  }
+
   test("registered queries run against testdata shape; topk executes the PRUNED plan") {
     val dir = plantedDir()
     val assign = TextQueries.queries("q_ann_ivf_assign")(spark, dir)

@@ -43,7 +43,7 @@ object TextQueries {
     * matrix) and ‖q‖ is a literal computed with the same left-fold —
     * value-identical to `cosineCol(emb, lit(q))` (EquivCheck + spec),
     * ~10× cheaper than the interpreted per-row zip_with/aggregate
-    * lambdas (r6: q_embed_threshold/topk/topk_r4, IVF probe). */
+    * lambdas (r6: q_embed_topk, IVF probe). */
   def cosineToQueryCol(emb: Column, q: Seq[Float]): Column = {
     val qd = q.map(_.toDouble)
     var s = 0.0
@@ -52,6 +52,17 @@ object TextQueries {
     val dot = element_at(graft.functions.DotMatrix(emb, Seq(qd)), 1)
     dot / (normCol(emb) * lit(nq))
   }
+
+  /** As [[cosineToQueryCol]] but in the ORACLE's single-precision
+    * arithmetic ([[graft.functions.CosineF32]] — DuckDB's
+    * list_cosine_similarity replicated bitwise). Used by every
+    * oracle-CHECKED cosine query (q_embed_threshold / q_embed_topk_r4 /
+    * q_embed_neardup_exact / q_ann_ivf_assign_r4) so the round(.,4)
+    * values match the oracle structurally instead of data-luckily; the
+    * rows-only production paths (q_embed_topk, IVF, LSH) keep the f64
+    * kernels their specs pin. */
+  def cosineToQueryF32Col(emb: Column, q: Seq[Float]): Column =
+    element_at(graft.functions.CosineF32.toMatrix(emb, Seq(q)), 1)
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
@@ -148,11 +159,11 @@ object TextQueries {
     // ---- similarity search -----------------------------------------
     // brute-force cosine vs query vector, thresholded (oracle-checked).
     // r6: the query vector is read once (a pushed-down point lookup) and
-    // the per-row cosine runs through the fused DotMatrix kernel instead
-    // of interpreted zip_with/aggregate lambdas — value-identical
-    // (EquivCheck), whole-stage codegen.
+    // the per-row cosine runs through a fused codegen kernel instead of
+    // interpreted zip_with/aggregate lambdas; oracle-checked, so the
+    // kernel is the f32 oracle replica (see cosineToQueryF32Col).
     "q_embed_threshold" -> ((s, d) => {
-      brutCos(t(s, d, "embeddings"))
+      brutCosF32(t(s, d, "embeddings"))
         .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.25)
     }),
@@ -172,7 +183,7 @@ object TextQueries {
     // passing q_embed_threshold oracle already proves the round-4
     // scores match), unlike the raw-float k-boundary ties above
     "q_embed_topk_r4" -> ((s, d) => {
-      brutCos(t(s, d, "embeddings"))
+      brutCosF32(t(s, d, "embeddings"))
         .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id").asc)
         .limit(10)
@@ -199,12 +210,13 @@ object TextQueries {
     // DuckDB replays the full assignment end-to-end.
     // r6: the 16 centroids are collected once (16 rows — same pattern as
     // Ivf.centroids) and the per-vector argmax computes all 16 rounded
-    // cosines in ONE codegen projection (DotMatrix dots + literal
-    // centroid norms) — replaces the crossJoin-explode (N×16 rows) +
-    // window shuffle with a linear pass; array_position(array_max) keeps
-    // the exact (cs desc, cid asc) tie-break because the cs array is
-    // ordered by ascending cid. Value-identical (EquivCheck; the
-    // arithmetic is DotMatrix's pinned f32→f64 index-order fold).
+    // cosines in ONE codegen projection — replaces the crossJoin-explode
+    // (N×16 rows) + window shuffle with a linear pass;
+    // array_position(array_max) keeps the exact (cs desc, cid asc)
+    // tie-break because the cs array is ordered by ascending cid.
+    // Oracle-checked, so the cosines come from the f32 oracle replica
+    // ([[graft.functions.CosineF32.toMatrix]]) and each round(.,4)
+    // equals the oracle's bitwise.
     "q_ann_ivf_assign_r4" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val cRows = e.filter(col("vec_id").between(1, 16))
@@ -223,21 +235,13 @@ object TextQueries {
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("cid").as("cell"))
       } else {
-        val mat: Seq[Seq[Double]] =
-          cRows.toSeq.map(_.getSeq[Float](1).toSeq.map(_.toDouble))
-        val norms: Seq[Double] = mat.map { v =>
-          var s2 = 0.0; v.foreach(x => s2 += x * x); math.sqrt(s2)
-        }
+        val mat: Seq[Seq[Float]] =
+          cRows.toSeq.map(_.getSeq[Float](1).toSeq)
         val cids: Seq[Int] = cRows.toSeq.map(_.getInt(0))
-        val nbArr = typedLit(norms)
         val cidArr = typedLit(cids)
-        val cs = transform(sequence(lit(0), lit(mat.size - 1)), j =>
-          round(element_at(col("__dots"), j + 1) /
-            (col("__na") * element_at(nbArr, j + 1)), 4))
         e.select(col("vec_id"),
-            graft.functions.DotMatrix(col("embedding"), mat).as("__dots"),
-            normCol(col("embedding")).as("__na"))
-          .select(col("vec_id"), cs.as("__cs"))
+            transform(graft.functions.CosineF32.toMatrix(col("embedding"), mat),
+              c => round(c, 4)).as("__cs"))
           .select(col("vec_id"),
             element_at(cidArr,
               array_position(col("__cs"), array_max(col("__cs"))).cast("int"))
@@ -286,19 +290,18 @@ object TextQueries {
     // from its per-bucket cap.
     "q_embed_neardup_exact" -> ((s, d) => {
       val e = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
-      // r6: norms hoisted to the crossJoin inputs (N values instead of
-      // N²) — same arithmetic as cosineCol, value-identical
-      def dot(a: Column, b: Column): Column =
-        aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
-      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
-          normCol(col("embedding")).as("__na"))
+      // oracle-checked → the pair cosine is the f32 oracle replica
+      // ([[graft.functions.CosineF32]]), one fused codegen kernel per
+      // pair. The f64 formulation (and its r6 norm hoist) rounded to a
+      // DIFFERENT 4th decimal whenever a score hit a half-boundary —
+      // the production twin q_embed_neardup keeps the f64 kernel its
+      // recall spec pins.
+      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
         .crossJoin(broadcast(
-          e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
-            normCol(col("embedding")).as("__nb"))))
+          e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(dot(col("emb_a"), col("emb_b")) / (col("__na") * col("__nb")), 4)
+          round(graft.functions.CosineF32(col("emb_a"), col("emb_b")), 4)
             .as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
     }),
@@ -382,6 +385,25 @@ object TextQueries {
       e.filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           cosineToQueryCol(col("embedding"), qRow(0).getSeq[Float](0)).as("cos_raw"))
+    }
+  }
+
+  /** [[brutCos]] in the oracle's f32 arithmetic — the shared plan of the
+    * two oracle-CHECKED brute-cosine queries (threshold / topk_r4); the
+    * rows-only q_embed_topk stays on the f64 [[brutCos]] its spec and
+    * the IVF exactness proofs compare against. */
+  private def brutCosF32(e: DataFrame): DataFrame = {
+    val qRow = e.filter(col("vec_id") === 0).select(col("embedding")).head(1)
+    if (qRow.isEmpty) {
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.functions.CosineF32(col("embedding"), col("qe")).as("cos_raw"))
+    } else {
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          cosineToQueryF32Col(col("embedding"), qRow(0).getSeq[Float](0)).as("cos_raw"))
     }
   }
 

@@ -182,15 +182,17 @@ object EquivCheck {
             (col("s1.sz") + col("s2.sz") - coalesce(col("n_common"), lit(0L))), 4)
             .as("jaccard"))
     }),
-    "q_embed_threshold" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(cosineCol(col("embedding"), col("qe")), 4).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.25)
-    }),
+    // q_embed_threshold / q_embed_topk_r4 / q_embed_neardup_exact /
+    // q_ann_ivf_assign_r4 are NOT checked old-vs-new here any more:
+    // round 6 moved the four oracle-CHECKED cosine queries to the
+    // oracle's own f32 arithmetic (graft.functions.CosineF32 — DuckDB's
+    // list_cosine_similarity replicated bitwise) because the round-5 f64
+    // formulation rounds to a DIFFERENT 4th decimal whenever a score
+    // lands on a round(.,4) half-boundary (observed: 0.1486 vs the
+    // oracle's 0.1487 on regenerated sf data). Old-vs-new equality is
+    // false BY DESIGN at such boundaries; the binding gate for these
+    // four is tools/oracle_check.py (exact DuckDB compare, strictly
+    // stronger), plus TwinSpec's independent f32 replays.
     "q_embed_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
@@ -201,16 +203,6 @@ object EquivCheck {
         .limit(10)
         .select(col("vec_id"), round(col("cos_raw"), 4).as("cos_sim"))
     }),
-    "q_embed_topk_r4" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
-      e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"),
-          round(cosineCol(col("embedding"), col("qe")), 4).as("cos_sim"))
-        .orderBy(col("cos_sim").desc, col("vec_id").asc)
-        .limit(10)
-    }),
     "q_embed_neardup" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val pairs = oldAnnCandidatePairs(oldAnnBuckets(e))
@@ -220,28 +212,6 @@ object EquivCheck {
         .select(col("id_a"), col("id_b"),
           round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.1)
-    }),
-    "q_embed_neardup_exact" -> ((s, d) => {
-      val e = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
-      e.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-        .crossJoin(broadcast(
-          e.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(cosineCol(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.1)
-    }),
-    "q_ann_ivf_assign_r4" -> ((s, d) => {
-      val e = t(s, d, "embeddings")
-      val c = e.filter(col("vec_id").between(1, 16))
-        .select(col("vec_id").cast("int").as("cid"), col("embedding").as("ce"))
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("cs").desc, col("cid").asc)
-      e.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("cid"),
-          round(cosineCol(col("embedding"), col("ce")), 4).as("cs"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid").as("cell"))
     }),
     "q_firstwins" -> ((s, d) => {
       val w = Window.partitionBy(col("l_orderkey"))
